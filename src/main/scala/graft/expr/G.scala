@@ -1,0 +1,89 @@
+package graft.expr
+
+import graft.geo._
+import graft.synth.SynthGeo
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Static helper surface for the custom Catalyst expressions: every method here
+ * is callable from generated Java (`graft.expr.G.m(...)` via Scala object
+ * static forwarders), keeping the expressions inside whole-stage codegen —
+ * the "batched codegen-friendly cell-encode UDF" the north rule asks for.
+ */
+object G {
+
+  // ------------- geometry -------------
+
+  def gridCell(lat: Double, lon: Double, res: Int): Long = GridCell.encode(lat, lon, res)
+
+  def gridParent(cell: Long, res: Int): Long = GridCell.toParent(cell, res)
+
+  def kRing(cell: Long, k: Int): ArrayData = new GenericArrayData(GridCell.kRing(cell, k))
+
+  def s2Cell(lat: Double, lon: Double, level: Int): Long = S2Cell.encode(lat, lon, level)
+
+  def cellX(cell: Long): Int = GridCell.xOf(cell)
+
+  def cellY(cell: Long): Int = GridCell.yOf(cell)
+
+  def tileId(lat: Double, lon: Double, z: Int): Long = Tile.encode(lat, lon, z)
+
+  def tileKey(id: Long): UTF8String = UTF8String.fromString(Tile.key(id))
+
+  def tileParse(key: UTF8String): Long = Tile.parseKey(key.toString)
+
+  def haversineM(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double =
+    GeoMath.haversineM(lat1, lon1, lat2, lon2)
+
+  def dist2Deg(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double =
+    GeoMath.dist2Deg(lat1, lon1, lat2, lon2)
+
+  def ringsOf(a: ArrayData): Array[Array[Double]] = {
+    val n = a.numElements()
+    val out = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) { out(i) = a.getArray(i).toDoubleArray; i += 1 }
+    out
+  }
+
+  def pip(rings: ArrayData, lat: Double, lon: Double): Boolean =
+    Pip.contains(ringsOf(rings), lon, lat)
+
+  def cellCover(rings: ArrayData, res: Int): ArrayData =
+    new GenericArrayData(Pip.cellCover(ringsOf(rings), res))
+
+  // ------------- geocoder -------------
+
+  def geocodeLat(region: UTF8String, text: UTF8String): Double =
+    SynthGeo.geocode(region.toString, text.toString)._1
+
+  def geocodeLon(region: UTF8String, text: UTF8String): Double =
+    SynthGeo.geocode(region.toString, text.toString)._2
+
+  // ------------- text -------------
+
+  def trigrams(s: UTF8String): UTF8String = UTF8String.fromString(TextAlgos.buildNgrams(s.toString))
+
+  def normKeyword(s: UTF8String): UTF8String = UTF8String.fromString(TextAlgos.clearKeyword(s.toString))
+
+  def simhash64(s: UTF8String): Long = TextAlgos.simHash(s.toString)
+
+  def fingerprint64(s: UTF8String): Long = TextAlgos.rollingFingerprint(s.toString)
+
+  def minhashSig(s: UTF8String, shingleN: Int, numHashes: Int): ArrayData =
+    new GenericArrayData(TextAlgos.minHash(s.toString, shingleN, numHashes))
+
+  def lshBands(sig: ArrayData, bands: Int): ArrayData =
+    new GenericArrayData(TextAlgos.lshBands(sig.toLongArray, bands))
+
+  def hamming64(a: Long, b: Long): Int = TextAlgos.hammingDistance(a, b)
+
+  def tokenCount(s: UTF8String): Int = TextAlgos.tokenCount(s.toString)
+
+  def bpeCount(s: UTF8String): Int = TextAlgos.bpeTokenEstimate(s.toString)
+
+  def langId(s: UTF8String): UTF8String = UTF8String.fromString(TextAlgos.langId(s.toString))
+
+  def qualityScore(s: UTF8String): Double = TextAlgos.qualityScore(s.toString)
+}

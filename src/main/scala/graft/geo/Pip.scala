@@ -121,6 +121,13 @@ object Pip {
     * every bbox-intersecting cell). */
   def cellCover(rings: Array[Array[Double]], res: Int): Array[Long] = {
     val (latMin, lonMin, latMax, lonMax) = bbox(rings)
-    GridCell.cover(latMin, lonMin, latMax, lonMax, res)
+    if (lonMax <= 180.0) GridCell.cover(latMin, lonMin, latMax, lonMax, res)
+    else {
+      // antimeridian-crossing polygon (continuous storage, lon > 180): the
+      // wrapped portion lives at lon - 360 in point space — cover both sides
+      val east = GridCell.cover(latMin, lonMin, latMax, 180.0 - 1e-12, res)
+      val west = GridCell.cover(latMin, -180.0, latMax, lonMax - 360.0, res)
+      (east ++ west).distinct.sorted
+    }
   }
 }

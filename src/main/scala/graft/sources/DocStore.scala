@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.model.Doc
+import graft.synth.DataGen
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import java.nio.file.{Files, Paths}
+
+/**
+ * Iceberg-shaped canonical document store on Parquet.
+ *
+ * No Iceberg jar ships in this sandbox (`build.sbt` is offline), so the store
+ * emulates the surface the engine needs from Iceberg: identity partitioning by
+ * `region` (the reference's directory-as-partition layout,
+ * /root/reference/ru_address/dump.py:12-14), a JSON manifest snapshot with
+ * per-partition row counts (lineage/metrics), and partition-pruned reads.
+ */
+object DocStore {
+
+  /** Schema applied on every read: partition-dir type inference would turn the
+    * zero-padded region "01" into int 1 (silent key corruption); an explicit
+    * schema keeps `region` a 2-digit string, exactly like the reference treats
+    * region directory names (dump.py:12-14). */
+  val docSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[Doc].schema
+
+  def path(sf: Double): String = s"target/synth/sf$sf/documents"
+
+  /** Idempotent: generate + write the sf-scale doc table if absent. */
+  def ensure(spark: SparkSession, sf: Double): String = {
+    val p = path(sf)
+    if (!Files.exists(Paths.get(p, "_SUCCESS"))) synchronized {
+      if (!Files.exists(Paths.get(p, "_SUCCESS"))) {
+        val docs = DataGen.documents(spark, sf)
+        docs.write.mode(SaveMode.Overwrite).partitionBy("region").parquet(p)
+        writeManifest(spark, p)
+      }
+    }
+    p
+  }
+
+  /** Iceberg-ish snapshot manifest: per-partition row counts + file counts. */
+  def writeManifest(spark: SparkSession, p: String): Unit = {
+    val counts = spark.read.schema(docSchema).parquet(p).groupBy("region").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val body = counts.map { case (r, c) => s"""    {"region": "$r", "rows": $c}""" }
+      .mkString("[\n", ",\n", "\n  ]")
+    val json =
+      s"""{
+         |  "format": "graft-doc-store-v1",
+         |  "partition_spec": ["region"],
+         |  "partitions": $body
+         |}""".stripMargin
+    Files.writeString(Paths.get(p, "_manifest.json"), json)
+  }
+
+  /** Partition-pruned read: Catalyst prunes to the listed region dirs
+    * (the reference's -r region filter, command.py:66-67). */
+  def read(spark: SparkSession, p: String, regions: Seq[String] = Nil): Dataset[Doc] = {
+    import spark.implicits._
+    val df = spark.read.schema(docSchema).parquet(p)
+    val pruned = if (regions.isEmpty) df else df.where(df("region").isin(regions: _*))
+    pruned.as[Doc]
+  }
+
+  def readDf(spark: SparkSession, p: String, regions: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.schema(docSchema).parquet(p)
+    if (regions.isEmpty) df else df.where(df("region").isin(regions: _*))
+  }
+}
