@@ -185,6 +185,30 @@ object SparkEntry {
           sum(when(col("orig") === col("round"), 1L).otherwise(0L)).as("n_roundtrip_ok"))
     }),
 
+    // -- reference-conformance layer (deterministic fingerprints; rows-only) --
+
+    "q_dump_fingerprints" -> ((s, dir) => {
+      import s.implicits._
+      val fixture = graft.synth.GarGen.df(s, "ADDR_OBJ", "01", 100).cache()
+      val rows = graft.sinks.Dump.dialects.toSeq.sortBy(_._1).map { case (name, d) =>
+        val text = graft.sinks.Dump.formatSlice(fixture, "ADDR_OBJ", d, batchSize = 7)
+        (name, text.length.toLong,
+          java.lang.Long.toHexString(graft.geo.TextAlgos.fnv1a64(text)))
+      }
+      rows.toDF("dialect", "n_chars", "fnv64")
+    }),
+
+    "q_ddl_fingerprints" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Seq(graft.sinks.Ddl.MySql, graft.sinks.Ddl.Postgres, graft.sinks.Ddl.ClickHouse)
+        .map { d =>
+          val text = graft.sinks.Ddl.createAll(d)
+          (d.name, graft.model.SchemaRegistry.knownTables.size.toLong, text.length.toLong,
+            java.lang.Long.toHexString(graft.geo.TextAlgos.fnv1a64(text)))
+        }
+      rows.toDF("dialect", "n_tables", "n_chars", "fnv64")
+    }),
+
     "q_knn_addresses" -> ((s, dir) => {
       // kNN of document anchors against the address-point table (synth world)
       val p = DocStore.ensure(s, sfOf(dir))

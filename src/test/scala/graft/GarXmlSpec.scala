@@ -1,0 +1,85 @@
+package graft
+
+import graft.model.SchemaRegistry
+import graft.sinks.Dump
+import graft.sources.GarXml
+import graft.synth.GarGen
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+class GarXmlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def writeFixtureTree(root: String): Unit = {
+    // common table at root + region dirs, AS_{T}_2... naming (common.py:47-60)
+    val ht = GarGen.rows("HOUSE_TYPES", "00", 7)
+    Files.write(Paths.get(root, "AS_HOUSE_TYPES_20210101.xml"),
+      GarXml.toXml(ht, SchemaRegistry.schemaOf("HOUSE_TYPES"), "HOUSETYPES", "HOUSETYPE")
+        .getBytes(StandardCharsets.UTF_8))
+    for (r <- Seq("01", "77")) {
+      Files.createDirectories(Paths.get(root, r))
+      val rows = GarGen.rows("ADDR_OBJ", r, 9)
+      Files.write(Paths.get(root, r, s"AS_ADDR_OBJ_20210101.xml"),
+        GarXml.toXml(rows, SchemaRegistry.schemaOf("ADDR_OBJ"), "ADDRESSOBJECTS", "OBJECT")
+          .getBytes(StandardCharsets.UTF_8))
+    }
+    // a non-numeric dir that must NOT be discovered as a region
+    Files.createDirectories(Paths.get(root, "extra"))
+  }
+
+  test("xml round trip: fixture rows -> XML -> streamed scan -> identical rows") {
+    val root = Files.createTempDirectory("gar_xml").toString
+    writeFixtureTree(root)
+
+    assert(GarXml.discoverRegions(root) == Seq("01", "77"))
+
+    val common = GarXml.read(spark, root, "HOUSE_TYPES")
+    val gotCommon = common.drop("region").collect().toSeq
+    assert(gotCommon == GarGen.rows("HOUSE_TYPES", "00", 7))
+
+    val regionDf = GarXml.read(spark, root, "ADDR_OBJ", Seq("01", "77"))
+    assert(regionDf.count() == 18)
+    val got01 = regionDf.where("region = '01'").drop("region").collect().toSeq
+    assert(got01 == GarGen.rows("ADDR_OBJ", "01", 9))
+  }
+
+  test("xml scan preserves document order and handles escaped attribute values") {
+    import scala.jdk.CollectionConverters._
+    val schema = SchemaRegistry.schemaOf("HOUSE_TYPES")
+    val tricky = Seq(org.apache.spark.sql.Row(
+      1, "ИФНС \"ФЛ\"\\", "a\tb", "<&>", java.sql.Date.valueOf("2021-01-01"),
+      java.sql.Date.valueOf("2021-01-01"), java.sql.Date.valueOf("2079-06-06"), true))
+    val xml = GarXml.toXml(tricky, schema, "HOUSETYPES", "HOUSETYPE")
+    val in = new java.io.ByteArrayInputStream(xml.getBytes(StandardCharsets.UTF_8))
+    val parsed = GarXml.parseStream(in, schema, "HOUSETYPE").toSeq
+    assert(parsed == tricky)
+    // and through the dump formatter, escapes match reference behaviour:
+    // ...NAME="ИФНС &quot;ФЛ&quot;\" -> "ИФНС \"ФЛ\"\\" (dump.py:121-123)
+    val df = spark.createDataFrame(parsed.asJava, schema)
+    val sql = Dump.formatSlice(df, "HOUSE_TYPES", Dump.mysql)
+    assert(sql.contains("\"ИФНС \\\"ФЛ\\\"\\\\\""))
+  }
+
+  test("discovery errors: zero or multiple matches") {
+    val root = Files.createTempDirectory("gar_glob").toString
+    intercept[java.io.FileNotFoundException] {
+      GarXml.discoverFile(root, "HOUSES", "xml")
+    }
+    Files.write(Paths.get(root, "AS_HOUSES_20210101.xml"), "<x/>".getBytes)
+    Files.write(Paths.get(root, "AS_HOUSES_20210202.XML"), "<x/>".getBytes)
+    intercept[java.io.FileNotFoundException] {
+      GarXml.discoverFile(root, "HOUSES", "xml") // >1 match, case-insensitive ext
+    }
+  }
+
+  test("full pipeline: XML ingest -> dump produces same bytes as direct fixture dump") {
+    val root = Files.createTempDirectory("gar_e2e").toString
+    writeFixtureTree(root)
+    val viaXml = GarXml.read(spark, root, "ADDR_OBJ", Seq("01")).drop("region")
+    val direct = GarGen.df(spark, "ADDR_OBJ", "01", 9)
+    val a = Dump.formatSlice(viaXml, "ADDR_OBJ", Dump.tsv)
+    val b = Dump.formatSlice(direct, "ADDR_OBJ", Dump.tsv)
+    assert(a == b && a.nonEmpty)
+  }
+}
