@@ -185,6 +185,84 @@ object SparkEntry {
           sum(when(col("orig") === col("round"), 1L).otherwise(0L)).as("n_roundtrip_ok"))
     }),
 
+    // -- training-data pipeline: dedup / similarity / text analysis --
+
+    "q_dedup_exact" -> ((s, dir) => {
+      graft.operators.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("dup_count")).as("n_docs"),
+          sum(when(col("dup_count") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
+    }),
+
+    "q_ngram_jaccard_pairs" -> ((s, dir) => {
+      val sample = t(s, dir, "documents").where(col("doc_id") % 20 === 0)
+      graft.operators.Dedup.ngramJaccardPairs(sample, "doc_id", "text", n = 3, tau = 0.5)
+    }),
+
+    "q_embed_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+      val corpus = emb.select(col("vec_id").as("tid"), col("embedding").as("vec"))
+      graft.operators.Similarity.bruteTopK(queries, corpus, k = 3)
+        .select(col("qid"), col("tid"), round(col("cos"), 6).as("cos6"), col("rn"))
+    }),
+
+    "q_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(gf.token_count(col("text")).cast("long")).as("total_tokens"))
+    }),
+
+    "q_minhash_near_dups" -> ((s, dir) => {
+      val sample = t(s, dir, "documents").where(col("doc_id") % 10 === 0)
+      graft.operators.Dedup.minhashLshPairs(sample, "doc_id", "text", tau = 0.5)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"))
+    }),
+
+    "q_simhash_near_dups" -> ((s, dir) => {
+      val sample = t(s, dir, "documents").where(col("doc_id") % 10 === 0)
+      graft.operators.Dedup.simhashPairs(sample, "doc_id", "text", maxHamming = 3)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(max(col("hamming")), lit(-1)).as("max_hamming"))
+    }),
+
+    "q_embedding_near_dups" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.Dedup.embeddingPairs(emb, "vec_id", "embedding", minCos = 0.8)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(round(min(col("cos")), 6), lit(0.0)).as("min_cos"))
+    }),
+
+    "q_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+      val corpus = emb.select(col("vec_id").as("tid"), col("embedding").as("vec"))
+      val brute = graft.operators.Similarity.bruteTopK(queries, corpus, k = 3)
+      val ann = graft.operators.Similarity.annTopK(queries, corpus, k = 3)
+      val r = graft.operators.Similarity.recall(ann, brute)
+      Seq((math.floor(r * 100).toLong, brute.count(), ann.count())).toDF("recall_pct", "n_exact", "n_ann")
+    }),
+
+    "q_text_profile" -> ((s, dir) =>
+      graft.operators.TextAnalysis.langQualitySummary(t(s, dir, "documents"))),
+
+    "q_multimodal_decode" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.synthMedia(s, 300)
+      val decoded = graft.operators.Multimodal.decode(media)
+      val resized = graft.operators.Multimodal.resizePlan(decoded, maxSide = 512)
+      resized.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("width").cast("long")).as("sum_w"),
+          sum(col("out_w").cast("long")).as("sum_out_w"),
+          max(col("frames")).as("max_frames"))
+    }),
+
     // -- reference-conformance layer (deterministic fingerprints; rows-only) --
 
     "q_dump_fingerprints" -> ((s, dir) => {
@@ -301,6 +379,46 @@ object SparkEntry {
          |r AS (SELECT qid, tid,
          |    row_number() OVER (PARTITION BY qid ORDER BY dist2, tid) AS rn FROM d)
          |SELECT qid, tid, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT count(*) AS n_groups, CAST(sum(dup_count) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+        |FROM (SELECT text, min(doc_id) keep_id, count(*) dup_count
+        |      FROM documents GROUP BY text)""".stripMargin,
+
+    "q_ngram_jaccard_pairs" ->
+      """WITH sample_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 3) AS s
+        |       FROM sample_docs, range(1, 8192) t(i) WHERE i <= length(text) - 2),
+        |counts AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) common
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, common, ca.n_sh AS n_a, cb.n_sh AS n_b
+        |FROM pairs JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b
+        |WHERE CAST(common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - common AS DOUBLE) >= 0.5""".stripMargin,
+
+    "q_embed_topk" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) qv
+        |      FROM embeddings),
+        |d AS (SELECT q.vec_id qid, c.vec_id tid,
+        |        CAST(list_sum(list_transform(list_zip(q.qv, c.qv), p -> p[1] * p[2])) AS BIGINT) idot,
+        |        CAST(list_sum(list_transform(q.qv, x -> x * x)) AS BIGINT) na,
+        |        CAST(list_sum(list_transform(c.qv, x -> x * x)) AS BIGINT) nb
+        |      FROM q CROSS JOIN c),
+        |r AS (SELECT qid, tid,
+        |        CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE CAST(idot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) END AS cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE CAST(idot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) END) DESC, tid) rn
+        |      FROM d)
+        |SELECT qid, tid, round(cos, 6) AS cos6, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    "q_token_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q_haversine_bucket" ->
       s"""WITH pts AS (

@@ -250,3 +250,66 @@ case class QualityScore(child: Expression) extends UnaryG("qualityScore", Double
   override protected def nullSafeEval(v: Any): Any = G.qualityScore(v.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
+
+// ---------------------------------------------------------------- vectors
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** floor(x*1000) int64 quantisation of a float vector (oracle-exact). */
+case class VecQuantize(child: Expression)
+    extends UnaryG("vecQuantize", ArrayType(LongType, containsNull = false),
+      ArrayType(FloatType)) {
+  override protected def nullSafeEval(v: Any): Any = G.vecQuantize(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** Integer dot product of two quantised vectors. */
+case class VecDotQ(left: Expression, right: Expression)
+    extends BinaryG("vecDotQ", LongType, ArrayType(LongType), ArrayType(LongType)) {
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    G.vecDotQ(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Exact-parity cosine from quantised vectors (int ops + one div + one sqrt). */
+case class VecCosQ(left: Expression, right: Expression)
+    extends BinaryG("vecCosQ", DoubleType, ArrayType(LongType), ArrayType(LongType)) {
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    G.vecCosQ(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Plain float cosine (engine-internal ranking). */
+case class VecCos(left: Expression, right: Expression)
+    extends BinaryG("vecCos", DoubleType, ArrayType(FloatType), ArrayType(FloatType)) {
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    G.vecCos(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Random-hyperplane LSH signature of a float vector. */
+case class VecSig(left: Expression, right: Expression)
+    extends BinaryG("vecSig", LongType, ArrayType(FloatType), IntegerType) {
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    G.vecSig(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Split an LSH signature into band keys. */
+case class SigBands(first: Expression, second: Expression, third: Expression)
+    extends TernaryG("sigBands", ArrayType(LongType, containsNull = false),
+      LongType, IntegerType, IntegerType) {
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    G.sigBands(a.asInstanceOf[Long], b.asInstanceOf[Int], c.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(f, s, t)
+}
+
+/** Exact character-n-gram Jaccard similarity of two strings. */
+case class NgramJaccard(first: Expression, second: Expression, third: Expression)
+    extends TernaryG("ngramJaccard", DoubleType, StringType, StringType, IntegerType) {
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    G.ngramJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], c.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(f, s, t)
+}

@@ -86,4 +86,24 @@ object G {
   def langId(s: UTF8String): UTF8String = UTF8String.fromString(TextAlgos.langId(s.toString))
 
   def qualityScore(s: UTF8String): Double = TextAlgos.qualityScore(s.toString)
+
+  // ------------- vectors -------------
+
+  private def floats(a: ArrayData): Array[Float] = a.toFloatArray
+
+  def vecQuantize(a: ArrayData): ArrayData = new GenericArrayData(VecAlgos.quantize(floats(a)))
+
+  def vecDotQ(a: ArrayData, b: ArrayData): Long = VecAlgos.dotQ(a.toLongArray, b.toLongArray)
+
+  def vecCosQ(a: ArrayData, b: ArrayData): Double = VecAlgos.cosineQ(a.toLongArray, b.toLongArray)
+
+  def vecCos(a: ArrayData, b: ArrayData): Double = VecAlgos.cosine(floats(a), floats(b))
+
+  def vecSig(a: ArrayData, bits: Int): Long = VecAlgos.hyperplaneSig(floats(a), bits)
+
+  def sigBands(sig: Long, bits: Int, bands: Int): ArrayData =
+    new GenericArrayData(VecAlgos.sigBands(sig, bits, bands))
+
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double =
+    TextAlgos.jaccard(TextAlgos.shingles(a.toString, n), TextAlgos.shingles(b.toString, n))
 }

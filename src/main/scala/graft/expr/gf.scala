@@ -93,6 +93,28 @@ object gf {
 
   def quality_score(c: Column): Column = column(QualityScore(s(c)))
 
+  private val FloatsT = ArrayType(FloatType, containsNull = true)
+
+  def vec_quantize(v: Column): Column = column(VecQuantize(Cast(expression(v), FloatsT)))
+
+  def vec_dot_q(a: Column, b: Column): Column =
+    column(VecDotQ(Cast(expression(a), LongsT), Cast(expression(b), LongsT)))
+
+  def vec_cos_q(a: Column, b: Column): Column =
+    column(VecCosQ(Cast(expression(a), LongsT), Cast(expression(b), LongsT)))
+
+  def vec_cos(a: Column, b: Column): Column =
+    column(VecCos(Cast(expression(a), FloatsT), Cast(expression(b), FloatsT)))
+
+  def vec_sig(v: Column, bits: Int): Column =
+    column(VecSig(Cast(expression(v), FloatsT), i(bits)))
+
+  def sig_bands(sig: Column, bits: Int, bands: Int): Column =
+    column(SigBands(l(sig), i(bits), i(bands)))
+
+  def ngram_jaccard(a: Column, b: Column, n: Int): Column =
+    column(NgramJaccard(s(a), s(b), i(n)))
+
   /** SQL names for every custom expression (idempotent, per-session). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -128,5 +150,12 @@ object gf {
     r("bpe_count") { e => BpeCount(cs(e(0))) }
     r("lang_id") { e => LangId(cs(e(0))) }
     r("quality_score") { e => QualityScore(cs(e(0))) }
+    r("vec_quantize") { e => VecQuantize(Cast(e(0), ArrayType(FloatType, containsNull = true))) }
+    r("vec_dot_q") { e => VecDotQ(Cast(e(0), LongsT), Cast(e(1), LongsT)) }
+    r("vec_cos_q") { e => VecCosQ(Cast(e(0), LongsT), Cast(e(1), LongsT)) }
+    r("vec_cos") { e => VecCos(Cast(e(0), ArrayType(FloatType, containsNull = true)), Cast(e(1), ArrayType(FloatType, containsNull = true))) }
+    r("vec_sig") { e => VecSig(Cast(e(0), ArrayType(FloatType, containsNull = true)), ci(e(1))) }
+    r("sig_bands") { e => SigBands(cl(e(0)), ci(e(1)), ci(e(2))) }
+    r("ngram_jaccard") { e => NgramJaccard(cs(e(0)), cs(e(1)), ci(e(2))) }
   }
 }

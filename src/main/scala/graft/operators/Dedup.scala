@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.expr.gf
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication suite for large-scale training-data pipelines: exact,
+ * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+ *
+ * Scale shape: every variant is candidate-generation-by-equi-join (hash
+ * shuffle on band/bucket keys — never an all-pairs cross join) followed by an
+ * exact verification predicate on the candidate pairs. Band keys make hot
+ * buckets shuffle-parallel; pairs are emitted once (id_a < id_b).
+ */
+object Dedup {
+
+  /** Exact dedup: one winner (min id) per identical text; adds dup_count. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact-dedup filter: the surviving rows themselves. */
+  def exactRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(exact(df, idCol, textCol).select(col("keep_id").as(idCol)), idCol)
+
+  /**
+   * MinHash + LSH near-dup pairs: shingle -> minhash signature -> band keys ->
+   * bucket equi-join -> exact Jaccard verification >= tau.
+   */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      tau: Double = 0.7): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("band_hash",
+        explode(gf.lsh_bands(gf.minhash_sig(col("text"), shingleN, numHashes), bands)))
+      .withColumn("band", col("band_hash"))
+      .drop("band_hash")
+    val a = sig.select(col("id").as("id_a"), col("text").as("text_a"), col("band"))
+    val b = sig.select(col("id").as("id_b"), col("text").as("text_b"), col("band"))
+    a.join(b, Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .distinct()
+      .withColumn("jaccard", gf.ngram_jaccard(col("text_a"), col("text_b"), shingleN))
+      .where(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * SimHash near-dup pairs: 64-bit simhash split into 16-bit bands; any pair
+   * within Hamming distance <= 3 of each other shares at least one exact band
+   * (pigeonhole over 4 bands), so the band join loses nothing at maxHamming<=3.
+   */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding certifies recall only to hamming 3")
+    val sh = df.select(col(idCol).as("id"), gf.simhash64(col(textCol)).as("sh"))
+    val banded = sh.withColumn("band",
+      explode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)) + lit(b.toLong << 32)): _*)))
+    val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("band"))
+    val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("band"))
+    a.join(b, Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming", gf.hamming64(col("sh_a"), col("sh_b")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /**
+   * Exact n-gram Jaccard pairs via shingle inverted index (no approximation):
+   * explode distinct shingles, equi-join on shingle, count common, Jaccard
+   * from inclusion-exclusion. SQL-oracle-expressible (pure substring math).
+   */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.5): DataFrame = {
+    val sh2 = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .where(length(col("text")) >= n)
+      .selectExpr("id", "text",
+        s"explode(array_distinct(transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n)))) AS sh")
+    val counts = sh2.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh2.select(col("id").as("id_a"), col("sh"))
+      .join(sh2.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .where(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("common"), col("n_a"), col("n_b"))
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs: hyperplane-LSH bucket join (candidate
+   * generation) + exact quantised-cosine verification.
+   */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double = 0.95, bits: Int = 16, bands: Int = 4): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("q", gf.vec_quantize(col("v")))
+      .withColumn("band", explode(gf.sig_bands(gf.vec_sig(col("v"), bits), bits, bands)))
+    val a = sig.select(col("id").as("id_a"), col("q").as("q_a"), col("band"))
+    val b = sig.select(col("id").as("id_b"), col("q").as("q_b"), col("band"))
+    a.join(b, Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("q_a"), col("q_b"))
+      .distinct()
+      .withColumn("cos", gf.vec_cos_q(col("q_a"), col("q_b")))
+      .where(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,168 @@
+package graft
+
+import graft.geo.{TextAlgos, VecAlgos}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Corpus with planted exact dups and near-dups. */
+  private lazy val corpus = {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running through the field"
+    Seq(
+      (1L, base),
+      (2L, base),                                     // exact dup of 1
+      (3L, base.replace("dog", "cat")),               // near dup of 1
+      (4L, base.replace("quick", "slow").replace("lazy", "brave")), // near-ish
+      (5L, "совершенно другой текст не похожий ни на что остальное здесь вообще"),
+      (6L, "another unrelated document talking about spark catalyst optimizer internals"),
+      (7L, base + " extra tail words appended here"), // near dup of 1
+      (8L, "short text")
+    ).toDF("id", "text")
+  }
+
+  test("exact dedup keeps min id and counts dups") {
+    val d = Dedup.exact(corpus, "id", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = corpus.collect().find(_.getLong(0) == 1L).get.getString(1)
+    assert(d(base) == (1L, 2L))
+    assert(Dedup.exactRows(corpus, "id", "text").count() == 7)
+  }
+
+  private def bruteJaccardPairs(tau: Double): Set[(Long, Long)] = {
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      j = TextAlgos.jaccard(TextAlgos.shingles(ta, 3), TextAlgos.shingles(tb, 3))
+      if j >= tau
+    } yield (ia, ib)).toSet
+  }
+
+  test("minhash LSH pairs: no false positives; full recall on high-sim pairs") {
+    val got = Dedup.minhashLshPairs(corpus, "id", "text", tau = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteJaccardPairs(0.7)
+    assert(got.subsetOf(want)) // exact verification ⇒ no false positives
+    val strong = bruteJaccardPairs(0.85)
+    assert(strong.subsetOf(got), s"missed strong pairs: ${strong -- got}")
+    assert(got.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard pairs are exactly the brute-force pairs") {
+    val got = Dedup.ngramJaccardPairs(corpus, "id", "text", n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet // id_b joined first
+    val gotPairs = Dedup.ngramJaccardPairs(corpus, "id", "text", n = 3, tau = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == bruteJaccardPairs(0.5))
+    // jaccard value itself matches inclusion-exclusion from shingle counts
+    val row = Dedup.ngramJaccardPairs(corpus, "id", "text", n = 3, tau = 0.5)
+      .where($"id_a" === 1 && $"id_b" === 2).collect()(0)
+    assert(row.getAs[Long]("common") == row.getAs[Long]("n_a"))
+    assert(row.getAs[Long]("n_a") == row.getAs[Long]("n_b"))
+  }
+
+  test("simhash pairs equal brute force at hamming <= 3 (banding certificate)") {
+    val got = Dedup.simhashPairs(corpus, "id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = corpus.collect().map(r => (r.getLong(0), TextAlgos.simHash(r.getString(1))))
+    val want = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows
+      if ia < ib && TextAlgos.hammingDistance(ha, hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got == want)
+    assert(got.contains((1L, 2L)))
+  }
+
+  private lazy val vectors = {
+    val rnd = (i: Int, j: Int) => (graft.geo.Rng.uniform(i * 131L + j) - 0.5).toFloat
+    val base = Array.tabulate(32)(j => rnd(0, j))
+    def jitter(eps: Float, seed: Int) = base.zipWithIndex.map { case (v, j) => v + eps * rnd(seed, j) }
+    (Seq(
+      (0L, base.toSeq), (1L, jitter(0.05f, 1).toSeq), (2L, jitter(0.08f, 2).toSeq)) ++
+      (3L to 40L).map(i => (i, Array.tabulate(32)(j => rnd(i.toInt, j)).toSeq))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("embedding near-dup pairs: exact verification, high recall on planted dups") {
+    val got = Dedup.embeddingPairs(vectors, "vec_id", "embedding", minCos = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = vectors.collect().map(r =>
+      (r.getLong(0), VecAlgos.quantize(r.getSeq[Float](1).toArray)))
+    val want = (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib && VecAlgos.cosineQ(va, vb) >= 0.95
+    } yield (ia, ib)).toSet
+    assert(got.subsetOf(want))
+    assert(got.contains((0L, 1L)) && got.contains((0L, 2L)), s"got=$got want=$want")
+  }
+
+  test("brute-force topk is the true quantised-cosine ranking") {
+    val queries = vectors.where($"vec_id" < 2).select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val all = vectors.select($"vec_id".as("tid"), $"embedding".as("vec"))
+    val got = Similarity.bruteTopK(queries, all, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val rows = vectors.collect().map(r => (r.getLong(0), VecAlgos.quantize(r.getSeq[Float](1).toArray)))
+    for (q <- Seq(0L, 1L)) {
+      val qv = rows.find(_._1 == q).get._2
+      val ranked = rows.map { case (t, v) => (t, VecAlgos.cosineQ(qv, v)) }
+        .sortBy { case (t, c) => (-c, t) }.take(3).map(_._1)
+      assert(Seq(got((q, 1)), got((q, 2)), got((q, 3))) == ranked.toSeq)
+    }
+  }
+
+  test("ANN topk achieves high recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" % 25 === 0).select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val all = emb.select($"vec_id".as("tid"), $"embedding".as("vec"))
+    val brute = Similarity.bruteTopK(queries, all, k = 3)
+    val ann = Similarity.annTopK(queries, all, k = 3, bits = 16, bands = 8)
+    val r = Similarity.recall(ann, brute)
+    assert(r >= 0.7, s"ANN recall $r below 0.7")
+  }
+
+  test("text profile columns match the scala core") {
+    val prof = TextAnalysis.profile(corpus).collect()
+    for (r <- prof) {
+      val t = r.getAs[String]("text")
+      assert(r.getAs[String]("lang_pred") == TextAlgos.langId(t))
+      assert(r.getAs[Double]("quality") == TextAlgos.qualityScore(t))
+      assert(r.getAs[Int]("n_tokens") == TextAlgos.tokenCount(t))
+      assert(r.getAs[Long]("fingerprint") == TextAlgos.rollingFingerprint(t))
+    }
+    val summary = TextAnalysis.langQualitySummary(corpus).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary("en") >= 5 && summary("ru") == 1)
+  }
+
+  test("quality filter drops junk") {
+    val df = Seq((1L, "a good long sentence with many reasonable tokens inside it for sure ok"),
+      (2L, "!!!"), (3L, "x")).toDF("id", "text")
+    assert(TextAnalysis.qualityFilter(df, minQuality = 0.4, minTokens = 5).count() == 1)
+  }
+
+  test("multimodal: decode stub, resize plan, frame sampling, featurize") {
+    val media = Multimodal.synthMedia(spark, 90).cache()
+    val decoded = Multimodal.decode(media).cache()
+    assert(decoded.count() == 90)
+    assert(decoded.select("kind").distinct().collect().map(_.getString(0)).toSet ==
+      Set("image", "audio", "video"))
+    val resized = Multimodal.resizePlan(decoded, 512)
+    assert(resized.where($"out_w" > 512 || $"out_h" > 512).count() == 0)
+    assert(resized.where($"scale" === 1.0).count() ==
+      decoded.where(greatest($"width", $"height") <= 512).count())
+    val frames = Multimodal.frameSample(decoded, stride = 5)
+    assert(frames.count() == decoded.where($"kind" === "video").count())
+    assert(frames.where($"n_sampled" =!= ceil(($"frames").cast("double") / 5.0)).count() == 0)
+    val feats = Multimodal.featurize(media, dims = 16)
+    assert(feats.count() == 90)
+    assert(feats.select(size($"feature")).distinct().collect().map(_.getInt(0)).toSeq == Seq(16))
+    // determinism: same media id -> same feature
+    val f1 = feats.where($"media_id" === "M000001").collect()(0).getSeq[Float](1)
+    val f2 = Multimodal.featurize(Multimodal.synthMedia(spark, 90), 16)
+      .where($"media_id" === "M000001").collect()(0).getSeq[Float](1)
+    assert(f1 == f2)
+  }
+}
