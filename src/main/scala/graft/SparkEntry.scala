@@ -294,7 +294,7 @@ object SparkEntry {
         .select(col("doc_id").as("qid"), col("lat"), col("lon"))
       val addrs = DataGen.addrPoints(s, sfOf(dir)).toDF()
         .select(col("addr_id").as("tid"), col("lat"), col("lon"))
-      KnnJoin.knnJoin(anchors, addrs, k = 3, res = 8)
+      KnnJoin.knnJoin(anchors, addrs, k = 3)
         .groupBy(col("rn")).agg(count(lit(1)).as("n"))
     })
   )

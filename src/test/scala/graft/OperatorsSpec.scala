@@ -49,7 +49,7 @@ class OperatorsSpec extends AnyFunSuite {
       .select($"doc_id".as("qid"), $"lat", $"lon")
     val addrs = DataGen.addrPoints(spark, 0.0005).toDF()
       .select($"addr_id".as("tid"), $"lat", $"lon")
-    val fast = KnnJoin.knnJoin(anchors, addrs, k = 3, res = 8)
+    val fast = KnnJoin.knnJoin(anchors, addrs, k = 3)
       .select("qid", "tid", "rn").collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
     val brute = KnnJoin.knnBrute(anchors, addrs, k = 3)
       .select("qid", "tid", "rn").collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
@@ -61,7 +61,7 @@ class OperatorsSpec extends AnyFunSuite {
     val q = Seq(("q1", 55.0, 37.0)).toDF("qid", "lat", "lon")
     val t3 = Seq(("t1", 55.1, 37.1), ("t2", 10.0, 10.0), ("t3", -60.0, 100.0))
       .toDF("tid", "lat", "lon")
-    val got = KnnJoin.knnJoin(q, t3, k = 5, res = 8)
+    val got = KnnJoin.knnJoin(q, t3, k = 5)
       .orderBy("rn").collect().map(_.getString(1)).toSeq
     assert(got == Seq("t1", "t2", "t3"))
   }
