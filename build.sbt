@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Emulate an executor of K cores faithfully in local mode: scales GC/JIT
+  // threads and availableProcessors along with task slots (otherwise a
+  // "local[2]" run still GCs on all 32 host cores, skewing N-vs-4N scaling).
+  sys.env.get("SPARK_PROC_COUNT").map(k => s"-XX:ActiveProcessorCount=$k").toSeq

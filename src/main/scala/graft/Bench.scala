@@ -14,18 +14,45 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
 
+  /** The full north-star per-document pipeline: anchor extraction ->
+    * hash-geocode -> H3-analog cells res 7..11 + S2 level 11 -> broadcast
+    * two-phase PIP join against region AND municipality polygons -> counts,
+    * plus media-span explode -> tile parse -> per-tile histogram. */
   def headlinePipeline(spark: SparkSession, sf: Double): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    import graft.expr.gf
     val p = DocStore.ensure(spark, sf)
     val docs = DocStore.readDf(spark, p)
-    val polys = DataGen.regionPolys(spark).toDF()
-    // full pipeline: anchors PIP-joined to regions + media spans tiled
-    val regionCounts = DocPipeline.regionDocCounts(docs, polys)
+    val regions = DataGen.regionPolys(spark).toDF()
+    val munis = DataGen.municipalityPolys(spark).toDF()
+
+    val anchors = DocPipeline.docAnchors(docs)
+      .withColumn("cell8", gf.grid_cell(col("lat"), col("lon"), 8))
+      .withColumn("cell9", gf.grid_cell(col("lat"), col("lon"), 9))
+      .withColumn("cell10", gf.grid_cell(col("lat"), col("lon"), 10))
+      .withColumn("cell11", gf.grid_cell(col("lat"), col("lon"), 11))
+      .withColumn("s2", gf.s2_cell(col("lat"), col("lon"), 11))
+    // No persist (recompute beats per-rep block-manager churn), and ONE
+    // action: the region-count, municipality-count and tile-histogram
+    // branches union into a single job so their stages schedule in parallel
+    // instead of three serial scheduling waves.
+    val regionCounts = graft.operators.SpatialJoin.pipJoin(
+        anchors.select(col("doc_id"), col("lat"), col("lon")),
+        regions.select(col("poly_id"), col("rings"), col("cell_cover")))
+      .groupBy(col("poly_id")).agg(count(lit(1)).as("n"))
+      .select(lit("region").as("kind"), col("n"))
+    val muniCounts = graft.operators.SpatialJoin.pipJoin(
+        anchors.select(col("doc_id"), col("lat"), col("lon")),
+        munis.select(col("poly_id"), col("rings"), col("cell_cover")))
+      .groupBy(col("poly_id")).agg(count(lit(1)).as("n"))
+      .select(lit("muni").as("kind"), col("n"))
     val tileCounts = DocPipeline.mediaSpans(docs)
       .groupBy("tile_z", "tile").count()
-    val nAssigned = regionCounts.agg(org.apache.spark.sql.functions.sum("doc_count"))
-      .collect()(0).getLong(0)
-    val nTiles = tileCounts.count()
-    (nAssigned, nTiles)
+      .select(lit("tile").as("kind"), col("count").as("n"))
+    val rows = regionCounts.unionByName(muniCounts).unionByName(tileCounts).collect()
+    val nAssigned = rows.filter(_.getString(0) == "region").map(_.getLong(1)).sum
+    val nOther = rows.count(_.getString(0) != "region").toLong
+    (nAssigned, nOther)
   }
 
   def main(args: Array[String]): Unit = {

@@ -103,6 +103,81 @@ object SparkEntry {
         .select(col("p_brand"), col("p_partkey"), col("rn"))
     }),
 
+    "q_sort_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    }),
+
+    "q_setops_years" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumn("yr", year(col("o_orderdate")))
+      val y95 = o.where(col("yr") === 1995).select(col("o_custkey"))
+      val y96 = o.where(col("yr") === 1996).select(col("o_custkey"))
+      val both = y95.intersect(y96).withColumn("bucket", lit("both"))
+      val only95 = y95.except(y96).withColumn("bucket", lit("only_1995"))
+      val all = y95.union(y96).distinct().withColumn("bucket", lit("either"))
+      both.unionByName(only95).unionByName(all)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    }),
+
+    "q_scalar_battery" -> ((s, dir) => {
+      t(s, dir, "part").where(col("p_partkey") <= 100)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_type"), 1, 5).as("sub"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+          length(col("p_name")).as("len"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+          abs(col("p_size") - 25).as("dist25"),
+          pmod(col("p_partkey") * 31, lit(97)).as("modk"),
+          round(sqrt(col("p_retailprice")), 6).as("root"))
+    }),
+
+    "q_date_battery" -> ((s, dir) => {
+      t(s, dir, "orders").where(col("o_orderkey") <= 200)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+    }),
+
+    "q_pivot_flags" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .count()
+        .na.fill(0L)
+        .select(col("l_linestatus"), col("A").as("a"), col("N").as("n"), col("R").as("r"))
+    }),
+
+    "q_string_agg" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+    }),
+
+    "q_distinct_exact" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+    }),
+
+    "q_approx_distinct" -> ((s, dir) => {
+      // approx vs exact distinct — engine-side accuracy artifact (rows-only)
+      t(s, dir, "lineitem")
+        .agg(countDistinct(col("l_orderkey")).as("exact"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+        .withColumn("rel_err_pct",
+          floor(abs(col("approx") - col("exact")) * 100.0 / col("exact")))
+    }),
+
     // -- geospatial battery (oracle-checked via arithmetic-exact derivations) --
 
     "q_cell_encode" -> ((s, dir) => {
@@ -379,6 +454,58 @@ object SparkEntry {
          |r AS (SELECT qid, tid,
          |    row_number() OVER (PARTITION BY qid ORDER BY dist2, tid) AS rn FROM d)
          |SELECT qid, tid, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "q_setops_years" ->
+      """WITH y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT bucket, count(*) AS n FROM (
+        |  SELECT 'both' AS bucket, o_custkey FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+        |  UNION ALL
+        |  SELECT 'only_1995' AS bucket, o_custkey FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+        |  UNION ALL
+        |  SELECT 'either' AS bucket, o_custkey FROM (SELECT DISTINCT o_custkey FROM (SELECT * FROM y95 UNION ALL SELECT * FROM y96))
+        |) GROUP BY bucket""".stripMargin,
+
+    "q_scalar_battery" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up, lower(p_brand) AS lo,
+        |  substring(p_type, 1, 5) AS sub,
+        |  concat_ws('|', p_brand, p_type) AS cat,
+        |  length(p_name) AS len,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+        |  abs(p_size - 25) AS dist25,
+        |  (p_partkey * 31) % 97 AS modk,
+        |  round(sqrt(p_retailprice), 6) AS root
+        |FROM part WHERE p_partkey <= 100""".stripMargin,
+
+    "q_date_battery" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  dayofmonth(o_orderdate) AS dom,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders WHERE o_orderkey <= 200""".stripMargin,
+
+    "q_pivot_flags" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "q_distinct_exact" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT count(*) AS n_groups, CAST(sum(dup_count) AS BIGINT) AS n_docs,

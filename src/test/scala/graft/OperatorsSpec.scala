@@ -66,6 +66,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq("t1", "t2", "t3"))
   }
 
+  test("shuffle-free anchors equal the window formulation") {
+    val fast = DocPipeline.docAnchors(docs)
+      .select($"doc_id", $"text", $"offset", $"lat", $"lon").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3), r.getDouble(4))).toSet
+    val slow = DocPipeline.docAnchorsViaWindow(docs)
+      .select($"doc_id", $"text", $"offset", $"lat", $"lon").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(fast == slow && fast.nonEmpty)
+  }
+
   test("media tile consistency holds for every media span") {
     val mc = DocPipeline.mediaConsistency(docs)
     val counts = mc.groupBy("consistent").count().collect()
