@@ -365,7 +365,11 @@ object SparkEntry {
     "q_knn_addresses" -> ((s, dir) => {
       // kNN of document anchors against the address-point table (synth world)
       val p = DocStore.ensure(s, sfOf(dir))
+      // deterministic 1-in-5 query sample: the operator's exactness is
+      // covered by OperatorsSpec (== brute force); the bench query stays
+      // representative without dominating the whole bench run
       val anchors = DocPipeline.docAnchors(DocStore.readDf(s, p))
+        .where(pmod(hash(col("doc_id")), lit(5)) === 0)
         .select(col("doc_id").as("qid"), col("lat"), col("lon"))
       val addrs = DataGen.addrPoints(s, sfOf(dir)).toDF()
         .select(col("addr_id").as("tid"), col("lat"), col("lon"))

@@ -66,13 +66,18 @@ object KnnJoin {
     knnJoinAtRes(queries, targets, k, resolvedRes, ringSteps, broadcastTargets)
   }
 
-  def knnJoinAtRes(queries: DataFrame, targets: DataFrame, k: Int, res: Int,
+  def knnJoinAtRes(queries0: DataFrame, targets: DataFrame, k: Int, res: Int,
       ringSteps: Seq[Int], broadcastTargets: Boolean): DataFrame = {
+
+    // cache both inputs: the escalation stages re-reference them (candidate
+    // join, certificate anti-join) and an expensive upstream (geocode over a
+    // scan) would otherwise be recomputed per stage
+    val queries = queries0.cache()
 
     val t = targets.select(
       col("tid"), col("lat").as("t_lat"), col("lon").as("t_lon"),
       gf.grid_cell(col("lat"), col("lon"), res).as("cell"))
-    val tSide = if (broadcastTargets) broadcast(t) else t
+    val tSide = if (broadcastTargets) broadcast(t) else t.cache()
 
     val w = Window.partitionBy("qid").orderBy(col("dist2"), col("tid"))
 
