@@ -72,9 +72,14 @@ object Bench {
     // materialise synth inputs up front so query timings measure compute
     DocStore.ensure(spark, sf)
 
+    // a failed query must never masquerade as a fast timing: errors are
+    // collected and reported in an "errors" field of the bench JSON
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(120)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
 
@@ -87,8 +92,11 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_docs":$nDocs,"headline_sec":$headlineSec%.3f,"docs_per_sec":$docsPerSec%.0f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","headline_docs":$nDocs,"headline_sec":$headlineSec%.3f,"docs_per_sec":$docsPerSec%.0f}""")
     spark.stop()
   }
 }

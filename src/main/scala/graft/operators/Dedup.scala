@@ -27,21 +27,44 @@ object Dedup {
   /**
    * MinHash + LSH near-dup pairs: shingle -> minhash signature -> band keys ->
    * bucket equi-join -> exact Jaccard verification >= tau.
+   *
+   * Shuffle shape (the 100 TB property): ONLY (id, band) rides the band
+   * shuffle and only (id_a, id_b) rides the pair-distinct — document texts
+   * never enter a wide shuffle. Texts are re-joined once per *unique* pair
+   * for the exact verification (two narrow hash joins on id). Previously the
+   * full payloads travelled through both the band join and the distinct; at
+   * sf0.1 that one query was 40% of the whole bench.
+   *
+   * @param maxBandSize optional candidate cap: bands holding more than this
+   *   many docs are dropped from candidate generation (degenerate buckets —
+   *   e.g. a corpus of near-identical boilerplate — are inherently quadratic
+   *   in pair count; capping trades recall on exactly those buckets for
+   *   bounded work, the standard LSH-at-scale practice). 0 = unlimited
+   *   (exact LSH semantics; the spec-pinned default).
    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      tau: Double = 0.7): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("band_hash",
-        explode(gf.lsh_bands(gf.minhash_sig(col("text"), shingleN, numHashes), bands)))
-      .withColumn("band", col("band_hash"))
-      .drop("band_hash")
-    val a = sig.select(col("id").as("id_a"), col("text").as("text_a"), col("band"))
-    val b = sig.select(col("id").as("id_b"), col("text").as("text_b"), col("band"))
-    a.join(b, Seq("band"))
+      tau: Double = 0.7, maxBandSize: Int = 0): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val sig = docs
+      .select(col("id"),
+        explode(gf.lsh_bands(gf.minhash_sig(col("text"), shingleN, numHashes), bands)).as("band"))
+    val capped =
+      if (maxBandSize <= 0) sig
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band")
+        sig.withColumn("band_n", count(lit(1)).over(w))
+          .where(col("band_n") <= maxBandSize)
+          .drop("band_n")
+      }
+    val candidates = capped.select(col("id").as("id_a"), col("band"))
+      .join(capped.select(col("id").as("id_b"), col("band")), Seq("band"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    candidates
+      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
       .withColumn("jaccard", gf.ngram_jaccard(col("text_a"), col("text_b"), shingleN))
       .where(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -103,15 +126,20 @@ object Dedup {
    */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       minCos: Double = 0.95, bits: Int = 16, bands: Int = 4): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("q", gf.vec_quantize(col("v")))
-      .withColumn("band", explode(gf.sig_bands(gf.vec_sig(col("v"), bits), bits, bands)))
-    val a = sig.select(col("id").as("id_a"), col("q").as("q_a"), col("band"))
-    val b = sig.select(col("id").as("id_b"), col("q").as("q_b"), col("band"))
-    a.join(b, Seq("band"))
+    // same shuffle discipline as minhashLshPairs: ids-only through the band
+    // join and the pair-distinct; quantized vectors re-joined once per unique
+    // pair for the exact verification
+    val vecs = df.select(col(idCol).as("id"), gf.vec_quantize(col(vecCol)).as("q"))
+    val sig = df.select(col(idCol).as("id"),
+      explode(gf.sig_bands(gf.vec_sig(col(vecCol), bits), bits, bands)).as("band"))
+    val candidates = sig.select(col("id").as("id_a"), col("band"))
+      .join(sig.select(col("id").as("id_b"), col("band")), Seq("band"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("q_a"), col("q_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("q").as("q_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("q").as("q_b")), "id_b")
       .withColumn("cos", gf.vec_cos_q(col("q_a"), col("q_b")))
       .where(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))

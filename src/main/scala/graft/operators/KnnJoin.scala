@@ -71,13 +71,19 @@ object KnnJoin {
 
     // cache both inputs: the escalation stages re-reference them (candidate
     // join, certificate anti-join) and an expensive upstream (geocode over a
-    // scan) would otherwise be recomputed per stage
-    val queries = queries0.cache()
+    // scan) would otherwise be recomputed per stage. Every cache is tracked
+    // and unpersisted once the (small, <= |q|*k rows) result is materialised
+    // via localCheckpoint — repeated calls must not leak block-manager
+    // entries ("Block rdd_N already exists" warnings in long sessions).
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    def tracked(df: DataFrame): DataFrame = { cached += df; df.cache() }
+
+    val queries = tracked(queries0)
 
     val t = targets.select(
       col("tid"), col("lat").as("t_lat"), col("lon").as("t_lon"),
       gf.grid_cell(col("lat"), col("lon"), res).as("cell"))
-    val tSide = if (broadcastTargets) broadcast(t) else t.cache()
+    val tSide = if (broadcastTargets) broadcast(t) else tracked(t)
 
     val w = Window.partitionBy("qid").orderBy(col("dist2"), col("tid"))
 
@@ -100,8 +106,8 @@ object KnnJoin {
       // cache the per-query top-k (small: <= |queries| * k rows) — it feeds
       // the certificate, the stage result AND the anti-join, and without the
       // cache the whole candidate window would be recomputed three times
-      val topk = rankCandidates(cand).where(col("rn") <= k)
-        .select(col("qid"), col("tid"), col("dist2"), col("rn")).cache()
+      val topk = tracked(rankCandidates(cand).where(col("rn") <= k)
+        .select(col("qid"), col("tid"), col("dist2"), col("rn")))
       // certificate: k-th neighbour strictly inside guaranteed coverage
       val cert = topk
         .groupBy("qid")
@@ -118,7 +124,11 @@ object KnnJoin {
       .where(col("rn") <= k)
       .select(col("qid"), col("tid"), col("dist2"), col("rn"))
 
-    (brute :: resultParts).reduce(_.unionByName(_))
+    // materialise the small result eagerly (cuts lineage to the caches),
+    // then release every tracked cache — callers see a plain DataFrame
+    val result = (brute :: resultParts).reduce(_.unionByName(_)).localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    result
   }
 
   /** Plain brute-force kNN (the oracle path; also right for tiny target sets). */

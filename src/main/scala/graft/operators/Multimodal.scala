@@ -49,17 +49,21 @@ object Multimodal {
     StructField("frames", IntegerType, nullable = false),
     StructField("body_len", IntegerType, nullable = false)))
 
-  /** Batch decode: (media_id, payload binary) -> typed metadata rows. Runs
-    * per-partition (batch-shaped, no per-row driver involvement). */
+  case class DecodedRow(media_id: String, kind: String, width: Int, height: Int,
+      frames: Int, body_len: Int)
+
+  /** Batch decode: (media_id, payload binary) -> typed metadata rows. Typed
+    * Dataset.mapPartitions (encoders, no DataFrame<->RDD hops — input_hint:
+    * "no RDD unless forced"); batch-shaped, no per-row driver involvement. */
   def decode(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val rdd = df.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
-      it.map { r =>
-        val d = decodeStub(r.getAs[Array[Byte]](1))
-        Row(r.getString(0), d.kind, d.width, d.height, d.frames, d.bodyLen)
-      }
-    }
-    spark.createDataFrame(rdd, decodedSchema)
+    import spark.implicits._
+    df.select(col("media_id"), col("payload")).as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val d = decodeStub(payload)
+        DecodedRow(id, d.kind, d.width, d.height, d.frames, d.bodyLen)
+      })
+      .toDF()
   }
 
   /** Resize plan: target box fit preserving aspect ratio — metadata-level
@@ -80,36 +84,34 @@ object Multimodal {
       .withColumn("n_sampled", size(col("sampled_frames")))
 
   /** Deterministic fake feature vector from payload bytes (stands in for a
-    * real embedding model; deterministic => testable plumbing). */
+    * real embedding model; deterministic => testable plumbing). Typed
+    * Dataset.mapPartitions, same rationale as decode. */
   def featurize(df: DataFrame, dims: Int = 16): DataFrame = {
     val spark = df.sparkSession
-    val schema = StructType(Seq(
-      StructField("media_id", StringType, nullable = false),
-      StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
-    val rdd = df.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
-      it.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
+    import spark.implicits._
+    df.select(col("media_id"), col("payload")).as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
         var h = 0xcbf29ce484222325L
         bytes.foreach { b => h = (h ^ (b & 0xFFL)) * 0x100000001b3L }
-        val feat = Array.tabulate(dims)(i => ((Rng.splitmix64(h + i) >>> 11).toFloat / (1L << 53).toFloat) - 0.5f)
-        Row(r.getString(0), feat.toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, schema)
+        val feat = Array.tabulate(dims)(i =>
+          ((Rng.splitmix64(h + i) >>> 11).toFloat / (1L << 53).toFloat) - 0.5f)
+        (id, feat)
+      })
+      .toDF("media_id", "feature")
   }
 
-  /** Synthetic media table generator (deterministic). */
+  /** Synthetic media table generator (deterministic, typed range — no RDD). */
   def synthMedia(spark: SparkSession, n: Int): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", StringType, nullable = false),
-      StructField("payload", BinaryType, nullable = false)))
-    val rdd = spark.sparkContext.parallelize(0 until n, math.max(1, n / 250)).map { i =>
-      val kind = Seq("image", "audio", "video")(i % 3)
-      val w = 64 + Rng.uniformInt(1000L + i, 4000)
-      val h = 64 + Rng.uniformInt(2000L + i, 3000)
-      val frames = if (kind == "video") 10 + Rng.uniformInt(3000L + i, 500) else 1
-      Row(f"M$i%06d", makePayload(kind, w, h, frames, 4000L + i, 64 + i % 128))
-    }
-    spark.createDataFrame(rdd, schema)
+    import spark.implicits._
+    spark.range(0, n.toLong, 1, math.max(1, n / 250)).as[Long]
+      .map { iL =>
+        val i = iL.toInt
+        val kind = Seq("image", "audio", "video")(i % 3)
+        val w = 64 + Rng.uniformInt(1000L + i, 4000)
+        val h = 64 + Rng.uniformInt(2000L + i, 3000)
+        val frames = if (kind == "video") 10 + Rng.uniformInt(3000L + i, 500) else 1
+        (f"M$i%06d", makePayload(kind, w, h, frames, 4000L + i, 64 + i % 128))
+      }
+      .toDF("media_id", "payload")
   }
 }

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
@@ -10,24 +11,35 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  * A stage writes its output partitioned by `region`, then records one
  * manifest row per partition under `_progress/` (rows, wall-clock, stage id).
  * Resume = anti-join the input's partition list against the done-manifest:
- * only missing regions are recomputed — the Spark analog of the reference's
- * region-at-a-time loop, made restartable.
+ * only missing regions are recomputed.
  *
- * The manifest is itself parquet, so at 10^12-doc scale the "what's done"
- * check is a metadata-sized read, not a data scan.
+ * Crash-consistency: the manifest row is the COMMIT RECORD for a region. A
+ * crash after the data write but before record() leaves regions
+ * written-but-unrecorded; resume heals this by DELETING any region directory
+ * present under data/ but absent from the manifest before reprocessing it —
+ * so re-appending can never duplicate rows, at any crash point.
+ *
+ * All path checks go through the Hadoop FileSystem API: on HDFS/S3 a
+ * java.io.File existence check would always be false and resume would
+ * silently recompute (and duplicate) everything.
  */
 object Lineage {
 
   case class PartitionRecord(stage: String, region: String, rows: Long, wallMs: Long)
 
   def progressPath(outPath: String): String = s"$outPath/_progress"
+  def dataPath(outPath: String): String = s"$outPath/data"
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Regions already completed for a stage (empty on first run). */
   def doneRegions(spark: SparkSession, outPath: String, stage: String): Set[String] = {
-    val p = progressPath(outPath)
-    if (!new java.io.File(p).exists()) return Set.empty
+    if (!exists(spark, progressPath(outPath))) return Set.empty
     import spark.implicits._
-    spark.read.parquet(p)
+    spark.read.parquet(progressPath(outPath))
       .where(col("stage") === stage)
       .select("region").as[String].collect().toSet
   }
@@ -41,15 +53,37 @@ object Lineage {
       .write.mode(SaveMode.Append).parquet(progressPath(outPath))
   }
 
+  /** Region partition dirs currently present under data/ (region=NN names). */
+  private def regionsOnDisk(spark: SparkSession, outPath: String): Set[String] = {
+    val d = new Path(dataPath(outPath))
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) return Set.empty
+    fs.listStatus(d).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("region=") =>
+        st.getPath.getName.stripPrefix("region=")
+    }.toSet
+  }
+
   /**
    * Run `transform` region-at-a-restartable-batch: skips regions already in
-   * the progress manifest, processes the rest (all at once — Spark
-   * parallelism stays intact), appends their output partitioned by region,
-   * and records lineage. Returns the set of regions processed this run.
+   * the progress manifest, heals partially-written (uncommitted) region dirs,
+   * processes the rest (all at once — Spark parallelism stays intact),
+   * appends their output partitioned by region, and records lineage.
+   * Returns the set of regions processed this run.
    */
   def runResumable(spark: SparkSession, input: DataFrame, outPath: String,
       stage: String)(transform: DataFrame => DataFrame): Set[String] = {
     val done = doneRegions(spark, outPath, stage)
+
+    // heal: data written for a region without its commit record is a torn
+    // write from a crashed run — delete before reprocessing (idempotence)
+    val torn = regionsOnDisk(spark, outPath) -- done
+    if (torn.nonEmpty) {
+      val fs = new Path(dataPath(outPath))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      torn.foreach(r => fs.delete(new Path(dataPath(outPath), s"region=$r"), true))
+    }
+
     val all = input.select("region").distinct()
       .collect().map(_.getString(0)).toSet
     val todo = all -- done
@@ -60,11 +94,11 @@ object Lineage {
     val out = transform(slice)
     require(out.columns.contains("region"),
       "resumable transform must preserve the region partition column")
-    out.write.mode(SaveMode.Append).partitionBy("region").parquet(s"$outPath/data")
+    out.write.mode(SaveMode.Append).partitionBy("region").parquet(dataPath(outPath))
 
     // read back with the transform's schema: partition-dir type inference
     // would coerce zero-padded region strings to ints
-    val counts = spark.read.schema(out.schema).parquet(s"$outPath/data")
+    val counts = spark.read.schema(out.schema).parquet(dataPath(outPath))
       .where(col("region").isin(todo.toSeq: _*))
       .groupBy("region").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -74,8 +108,7 @@ object Lineage {
 
   /** The lineage/metrics view for inspection. */
   def progress(spark: SparkSession, outPath: String): DataFrame = {
-    val p = progressPath(outPath)
-    if (new java.io.File(p).exists()) spark.read.parquet(p)
+    if (exists(spark, progressPath(outPath))) spark.read.parquet(progressPath(outPath))
     else spark.emptyDataFrame
   }
 }

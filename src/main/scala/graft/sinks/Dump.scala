@@ -70,17 +70,21 @@ object Dump {
       }
   }
 
-  /** The four target platforms (dump.py:90-238). */
-  val mysql: Dialect = Dialect("mysql", "sql",
+  /** The four target platforms (dump.py:90-238). MySQL's session header takes
+    * the charset from RA_SQL_ENCODING exactly like the reference
+    * (dump.py:97, command.py:25-29). */
+  def mysqlWith(encoding: String): Dialect = Dialect("mysql", "sql",
     escape = Map('\\' -> "\\\\", '"' -> "\\\""),
     tableWrappers = true,
     header = "/*!40101 SET @OLD_CHARACTER_SET_CLIENT=@@CHARACTER_SET_CLIENT */;\n" +
-      "/*!40101 SET NAMES utf8mb4 */;\n" +
+      s"/*!40101 SET NAMES $encoding */;\n" +
       "/*!40014 SET @OLD_FOREIGN_KEY_CHECKS=@@FOREIGN_KEY_CHECKS, FOREIGN_KEY_CHECKS=0 */;\n" +
       "/*!40101 SET @OLD_SQL_MODE=@@SQL_MODE, SQL_MODE='NO_AUTO_VALUE_ON_ZERO' */;\n",
     footer = "/*!40101 SET SQL_MODE=IFNULL(@OLD_SQL_MODE, '') */;\n" +
       "/*!40014 SET FOREIGN_KEY_CHECKS=IF(@OLD_FOREIGN_KEY_CHECKS IS NULL, 1, @OLD_FOREIGN_KEY_CHECKS) */;\n" +
       "/*!40101 SET CHARACTER_SET_CLIENT=@OLD_CHARACTER_SET_CLIENT */;\n")
+
+  val mysql: Dialect = mysqlWith(sys.env.getOrElse("RA_SQL_ENCODING", "utf8mb4"))
 
   val psql: Dialect = Dialect("psql", "sql",
     quotes = "'", quotesSystem = "\"",
@@ -112,13 +116,20 @@ object Dump {
     case other => other.toString
   }
 
-  /** Format one value per the dialect (xml.py:25-38). */
+  /** Format one value per the dialect (xml.py:25-38). The reference
+    * bool-encodes the literal strings "false"/"true" in ANY column
+    * (xml.py:29-32) — including string fields whose value happens to be the
+    * word "true" — so the check is on the stringified value, not the type. */
   def formatValue(v: Any, dialect: Dialect): String = v match {
     case null => dialect.nullRepr
-    case b: Boolean => if (b) dialect.boolRepr._2 else dialect.boolRepr._1
     case other =>
-      val s = dialect.escapeValue(stringify(other))
-      s"${dialect.quotes}$s${dialect.quotes}"
+      val s0 = stringify(other)
+      if (s0 == "false") dialect.boolRepr._1
+      else if (s0 == "true") dialect.boolRepr._2
+      else {
+        val s = dialect.escapeValue(s0)
+        s"${dialect.quotes}$s${dialect.quotes}"
+      }
   }
 
   /**
@@ -171,11 +182,18 @@ object Dump {
     }
   }
 
-  /** Copyright banner (core.py:71-92); timestamp intentionally excluded from
-    * golden comparisons, as the reference's own output is non-deterministic. */
-  def composeCopyright(version: String = "0.1.0"): String = {
-    val versionString = s"ru_addressspark v$version -- Spark-native GAR engine"
-    val generationTs = s"generated at ${java.time.Instant.now()}"
+  /** Copyright banner, byte-compatible with the reference's compose_copyright
+    * (core.py:71-92): same version string (compatibility banner, like
+    * mysqldump's), same bar/padding arithmetic. Only the `generated at` line
+    * varies run to run — parity tests normalize exactly that line, nothing
+    * else. */
+  def composeCopyright(): String = {
+    val versionString =
+      "ru_address v2.2.1 -- get latest version at https://github.com/shadz3rg/ru_address"
+    val now = java.time.LocalDateTime.now()
+    val micros = now.getNano / 1000
+    val ts = f"${now.toLocalDate} ${now.getHour}%02d:${now.getMinute}%02d:${now.getSecond}%02d.$micros%06d"
+    val generationTs = s"generated at $ts"
     val bar = "-" * versionString.length
     s"-- $bar --\n-- $versionString --\n-- $generationTs${" " * math.max(0, versionString.length - generationTs.length)} --\n-- $bar --\n\n"
   }

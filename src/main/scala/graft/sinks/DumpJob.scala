@@ -1,26 +1,36 @@
 package graft.sinks
 
 import graft.model.SchemaRegistry
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import java.io.{BufferedWriter, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
 /**
  * Output-mode router (SURVEY.md OUT-1..4; /root/reference/ru_address/
  * output.py:9-189): `direct` (one file), `per_region`, `per_table`,
- * `region_tree` (source-mirroring, the default). Emission order follows
- * ORD-1: common tables first (registry order), then regions in sorted order,
- * each with its region tables in registry order.
+ * `region_tree` (source-mirroring, the default). The meta skeleton —
+ * copyright, dialect header/footer, "\n"-prefixed table separators, which
+ * modes emit separators for common tables — mirrors output.py line for line;
+ * byte-parity against the runnable reference CLI is pinned by RefParitySpec
+ * on goldens produced by `ru_address dump` itself (tools/gen_ref_goldens.sh).
  *
- * Two execution paths:
+ * Two execution paths, both writing through the Hadoop FileSystem API (local
+ * FS, HDFS and S3 all work — no executor-side java.io.File assumptions):
+ *
  *  - driver-streamed (`write`): slices stream through toLocalIterator in
- *    output order — matches the reference's sequential single-file semantics
- *    for the concatenated modes; constant memory (partition at a time).
- *  - executor-parallel (`regionTreeParallel`): region_tree only — each region
- *    partition formats + writes its own file, no driver bottleneck. This is
- *    the 100 TB path; the driver-streamed path exists for byte-conformance.
+ *    output order — matches the reference's sequential semantics exactly;
+ *    constant memory (a partition at a time). Conformance path.
+ *  - executor-parallel (`writeParallel`): every (table, region) slice is
+ *    formatted by executors into a section file (one task per region, rows
+ *    grouped by the region column *within* each partition so hash-sharing
+ *    regions can never bleed into each other's files); final files are then
+ *    assembled per mode by streaming byte concatenation (metadata-bound, no
+ *    row touches the driver). This is the 100 TB path: the CPU-heavy
+ *    formatting scales with executors; only direct/per_table/per_region's
+ *    inherent single-file assembly is serial per output file.
  */
 object DumpJob {
 
@@ -41,119 +51,294 @@ object DumpJob {
       includeMeta: Boolean = true,
       batchSize: Int = 500)
 
+  object Config {
+    /** ENV-driven knobs, mirroring the reference (CFG-1, command.py:25-29):
+      * RA_BATCH_SIZE (dump.py:54), RA_SQL_ENCODING (dump.py:97). */
+    def fromEnv(tables: Seq[String], regions: Seq[String], target: String,
+        mode: Mode = RegionTree): Config = {
+      val batch = sys.env.getOrElse("RA_BATCH_SIZE", "500").toInt
+      val dialect = target match {
+        case "mysql" => Dump.mysqlWith(sys.env.getOrElse("RA_SQL_ENCODING", "utf8mb4"))
+        case other => Dump.dialects(other)
+      }
+      Config(tables, regions, dialect, mode,
+        includeMeta = target != "csv" && target != "tsv", batchSize = batch)
+    }
+  }
+
   private def commonTables(cfg: Config): Seq[String] =
     SchemaRegistry.commonTables.map(_._1).filter(cfg.tables.contains)
 
   private def regionTables(cfg: Config): Seq[String] =
     SchemaRegistry.regionTables.map(_._1).filter(cfg.tables.contains)
 
-  private def newWriter(path: String): BufferedWriter = {
-    val p = Paths.get(path)
-    Option(p.getParent).foreach(Files.createDirectories(_))
-    new BufferedWriter(new OutputStreamWriter(Files.newOutputStream(p), StandardCharsets.UTF_8))
+  private def newWriter(path: String, conf: Configuration): BufferedWriter = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    new BufferedWriter(new OutputStreamWriter(fs.create(p, true), StandardCharsets.UTF_8))
   }
 
   private def streamSlice(w: BufferedWriter, df: DataFrame, table: String, cfg: Config): Unit = {
     val fields = df.schema.fieldNames.toSeq
     val it = df.toLocalIterator()
-    val rows = new Iterator[org.apache.spark.sql.Row] {
+    val rows = new Iterator[Row] {
       def hasNext: Boolean = it.hasNext
-      def next(): org.apache.spark.sql.Row = it.next()
+      def next(): Row = it.next()
     }
     Dump.formatRows(rows, fields, table, cfg.dialect, cfg.batchSize).foreach(w.write)
   }
 
-  private def meta(w: BufferedWriter, cfg: Config, s: String): Unit =
-    if (cfg.includeMeta) w.write(s)
-
-  /** Driver-streamed dump in any mode. Returns the list of files written. */
-  def write(provider: SliceProvider, outPath: String, cfg: Config): Seq[String] = {
+  /**
+   * Driver-streamed dump in any mode; the meta skeleton replicates
+   * output.py's four writers byte for byte:
+   *  - Direct (output.py:47-74): one header; "\n" + separator before every
+   *    table; "\n" + footer at the end.
+   *  - PerRegion (output.py:77-113): one file per COMMON table (with
+   *    separator) and one per region (separator per table).
+   *  - PerTable (output.py:116-151): common files have NO separator; region
+   *    tables get one file with a separator per region.
+   *  - RegionTree (output.py:154-189): common files no separator; one file
+   *    per (region, table) with separator.
+   * Returns the list of files written.
+   */
+  def write(provider: SliceProvider, outPath: String, cfg: Config,
+      conf: Configuration = new Configuration()): Seq[String] = {
     val ext = cfg.dialect.extension
     val regions = cfg.regions.sorted
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
 
     def withFile(path: String)(body: BufferedWriter => Unit): Unit = {
-      val w = newWriter(path)
-      try {
-        meta(w, cfg, Dump.composeCopyright())
-        meta(w, cfg, cfg.dialect.header)
-        body(w)
-        meta(w, cfg, cfg.dialect.footer)
-      } finally w.close()
+      val w = newWriter(path, conf)
+      try body(w) finally w.close()
       files += path
     }
+    def meta(w: BufferedWriter, s: => String): Unit = if (cfg.includeMeta) w.write(s)
+    def head(w: BufferedWriter): Unit = meta(w, Dump.composeCopyright() + cfg.dialect.header)
+    def foot(w: BufferedWriter): Unit = meta(w, "\n" + cfg.dialect.footer)
+    def sep(w: BufferedWriter, t: String, r: Option[String]): Unit =
+      meta(w, "\n" + Dump.composeTableSeparator(t, r))
 
     cfg.mode match {
       case Direct =>
-        withFile(s"$outPath.$ext") { w =>
+        withFile(outPath) { w =>
+          head(w)
           for (t <- commonTables(cfg)) {
-            meta(w, cfg, Dump.composeTableSeparator(t, None))
+            sep(w, t, None)
             streamSlice(w, provider(t, None), t, cfg)
           }
           for (r <- regions; t <- regionTables(cfg)) {
-            meta(w, cfg, Dump.composeTableSeparator(t, Some(r)))
+            sep(w, t, Some(r))
             streamSlice(w, provider(t, Some(r)), t, cfg)
           }
+          foot(w)
         }
       case PerTable =>
         for (t <- commonTables(cfg))
-          withFile(s"$outPath/$t.$ext")(w => streamSlice(w, provider(t, None), t, cfg))
+          withFile(s"$outPath/$t.$ext") { w =>
+            head(w); meta(w, "\n")
+            streamSlice(w, provider(t, None), t, cfg)
+            foot(w)
+          }
         for (t <- regionTables(cfg))
           withFile(s"$outPath/$t.$ext") { w =>
+            head(w)
             for (r <- regions) {
-              meta(w, cfg, Dump.composeTableSeparator(t, Some(r)))
+              sep(w, t, Some(r))
               streamSlice(w, provider(t, Some(r)), t, cfg)
             }
+            foot(w)
           }
       case PerRegion =>
-        if (commonTables(cfg).nonEmpty)
-          withFile(s"$outPath/_common.$ext") { w =>
-            for (t <- commonTables(cfg)) {
-              meta(w, cfg, Dump.composeTableSeparator(t, None))
-              streamSlice(w, provider(t, None), t, cfg)
-            }
+        for (t <- commonTables(cfg))
+          withFile(s"$outPath/$t.$ext") { w =>
+            head(w); sep(w, t, None)
+            streamSlice(w, provider(t, None), t, cfg)
+            foot(w)
           }
         for (r <- regions)
           withFile(s"$outPath/$r.$ext") { w =>
+            head(w)
             for (t <- regionTables(cfg)) {
-              meta(w, cfg, Dump.composeTableSeparator(t, Some(r)))
+              sep(w, t, Some(r))
               streamSlice(w, provider(t, Some(r)), t, cfg)
             }
+            foot(w)
           }
       case RegionTree =>
         for (t <- commonTables(cfg))
-          withFile(s"$outPath/$t.$ext")(w => streamSlice(w, provider(t, None), t, cfg))
+          withFile(s"$outPath/$t.$ext") { w =>
+            head(w); meta(w, "\n")
+            streamSlice(w, provider(t, None), t, cfg)
+            foot(w)
+          }
         for (r <- regions; t <- regionTables(cfg))
-          withFile(s"$outPath/$r/$t.$ext")(w => streamSlice(w, provider(t, Some(r)), t, cfg))
+          withFile(s"$outPath/$r/$t.$ext") { w =>
+            head(w); sep(w, t, Some(r))
+            streamSlice(w, provider(t, Some(r)), t, cfg)
+            foot(w)
+          }
     }
     files.toSeq
   }
 
+  // ---------------------------------------------------- executor-parallel
+
   /**
-   * Executor-parallel region_tree dump for one region-partitioned table:
-   * one task per region writes `{out}/{region}/{TABLE}.{ext}` directly.
-   * `df` must carry `region` and an `ord` ordering column.
+   * Format one region-partitioned table into per-region section files, in
+   * parallel. `df` must carry `region` and `ord` columns plus the data
+   * columns in schema order. Rows are grouped by the region VALUE inside each
+   * partition (hash partitioning may co-locate several regions in one task —
+   * each gets its own file; a region never spans partitions). Returns the
+   * written section paths.
    */
-  def regionTreeParallel(spark: SparkSession, df: DataFrame, table: String,
-      outPath: String, cfg: Config): Unit = {
+  private def writeSections(spark: SparkSession, df: DataFrame, table: String,
+      sectionDir: String, cfg: Config): Seq[String] = {
     val dialect = cfg.dialect
     val batch = cfg.batchSize
-    val dataFields = df.schema.fieldNames.filterNot(n => n == "region" || n == "ord").toSeq
     val ext = dialect.extension
+    val dataFields = df.schema.fieldNames.filterNot(n => n == "region" || n == "ord").toSeq
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     df.repartition(col("region"))
       .sortWithinPartitions(col("region"), col("ord"))
-      .select((col("region") +: col("ord") +: dataFields.map(col)): _*)
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        if (it.hasNext) {
-          val buffered = it.buffered
-          val region = buffered.head.getString(0)
-          val w = newWriter(s"$outPath/$region/$table.$ext")
-          try {
-            val rows = buffered.map(r =>
-              org.apache.spark.sql.Row.fromSeq(r.toSeq.drop(2)))
-            Dump.formatRows(rows, dataFields, table, dialect, batch).foreach(w.write)
-          } finally w.close()
+      .select((col("region") +: dataFields.map(col)): _*)
+      .foreachPartition { (it: Iterator[Row]) =>
+        // NB: not named "buffered" — inside `new Iterator`, that name would
+        // resolve to the inherited Iterator.buffered METHOD on `this`,
+        // re-buffering the anon itself into infinite mutual recursion
+        val lookahead = it.buffered
+        while (lookahead.hasNext) {
+          val region = Option(lookahead.head.getString(0)).getOrElse("")
+          // one writer per contiguous region run — regions sharing a hash
+          // partition each get their own, correctly named, section file
+          val sectionRows = new Iterator[Row] {
+            def hasNext: Boolean = lookahead.hasNext &&
+              Option(lookahead.head.getString(0)).getOrElse("") == region
+            def next(): Row = Row.fromSeq(lookahead.next().toSeq.drop(1))
+          }
+          val p = new Path(s"$sectionDir/$table/${if (region.isEmpty) "_common" else region}.$ext")
+          val fs = p.getFileSystem(serConf.value)
+          val w = new BufferedWriter(new OutputStreamWriter(fs.create(p, true), StandardCharsets.UTF_8))
+          try Dump.formatRows(sectionRows, dataFields, table, dialect, batch).foreach(w.write)
+          finally w.close()
         }
       }
+    val fs = new Path(sectionDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.globStatus(new Path(s"$sectionDir/$table/*.$ext"))
+    if (st == null) Nil else st.toSeq.map(_.getPath.toString)
   }
+
+  /** Stream-copy a section file into an open writer (byte-bound, no rows). */
+  private def copySection(w: java.io.OutputStream, path: String, conf: Configuration): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try org.apache.hadoop.io.IOUtils.copyBytes(in, w, 1 << 16, false)
+    finally in.close()
+  }
+
+  /**
+   * Executor-parallel dump for all four modes: formatting fans out one task
+   * per region per table; final files are assembled by streaming
+   * concatenation of the section files (no row ever crosses the driver).
+   * `tableDfs` supplies each table's region-partitioned DataFrame with
+   * (region, ord) columns; common tables pass region = null rows.
+   */
+  def writeParallel(spark: SparkSession, tableDfs: Seq[(String, DataFrame)],
+      outPath: String, cfg: Config, stagingDir: String = null): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staging = Option(stagingDir).getOrElse(s"$outPath/_sections")
+    val byTable = tableDfs.toMap
+    val ext = cfg.dialect.extension
+    val regions = cfg.regions.sorted
+
+    // 1. distributed formatting into sections
+    val sections: Map[String, Map[String, String]] = tableDfs.map { case (t, df) =>
+      val paths = writeSections(spark, df, t, staging, cfg)
+      t -> paths.map(p => new Path(p).getName.stripSuffix(s".$ext") -> p).toMap
+    }.toMap
+
+    def sectionOf(t: String, r: Option[String]): Option[String] =
+      sections.getOrElse(t, Map.empty).get(r.getOrElse("_common"))
+
+    // 2. assemble output files per mode (byte concat through Hadoop FS)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def assemble(path: String)(parts: java.io.OutputStream => Unit): Unit = {
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(p, true)
+      try parts(out) finally out.close()
+      files += path
+    }
+    def metaBytes(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
+    def emit(out: java.io.OutputStream, s: String): Unit =
+      if (cfg.includeMeta) out.write(metaBytes(s))
+    def emitTable(out: java.io.OutputStream, t: String, r: Option[String],
+        withSep: Boolean): Unit = {
+      if (withSep) emit(out, "\n" + Dump.composeTableSeparator(t, r))
+      sectionOf(t, r) match {
+        case Some(sec) => copySection(out, sec, conf)
+        case None => // empty slice for a dialect without wrappers -> no bytes
+          out.write(metaBytes(Dump.formatRows(Iterator.empty,
+            Nil, t, cfg.dialect, cfg.batchSize).mkString))
+      }
+    }
+    val commons = commonTables(cfg).filter(byTable.contains)
+    val regionTs = regionTables(cfg).filter(byTable.contains)
+
+    cfg.mode match {
+      case Direct =>
+        assemble(outPath) { out =>
+          emit(out, Dump.composeCopyright() + cfg.dialect.header)
+          for (t <- commons) emitTable(out, t, None, withSep = true)
+          for (r <- regions; t <- regionTs) emitTable(out, t, Some(r), withSep = true)
+          emit(out, "\n" + cfg.dialect.footer)
+        }
+      case PerTable =>
+        for (t <- commons) assemble(s"$outPath/$t.$ext") { out =>
+          emit(out, Dump.composeCopyright() + cfg.dialect.header + "\n")
+          emitTable(out, t, None, withSep = false)
+          emit(out, "\n" + cfg.dialect.footer)
+        }
+        for (t <- regionTs) assemble(s"$outPath/$t.$ext") { out =>
+          emit(out, Dump.composeCopyright() + cfg.dialect.header)
+          for (r <- regions) emitTable(out, t, Some(r), withSep = true)
+          emit(out, "\n" + cfg.dialect.footer)
+        }
+      case PerRegion =>
+        for (t <- commons) assemble(s"$outPath/$t.$ext") { out =>
+          emit(out, Dump.composeCopyright() + cfg.dialect.header)
+          emitTable(out, t, None, withSep = true)
+          emit(out, "\n" + cfg.dialect.footer)
+        }
+        for (r <- regions) assemble(s"$outPath/$r.$ext") { out =>
+          emit(out, Dump.composeCopyright() + cfg.dialect.header)
+          for (t <- regionTs) emitTable(out, t, Some(r), withSep = true)
+          emit(out, "\n" + cfg.dialect.footer)
+        }
+      case RegionTree =>
+        for (t <- commons) assemble(s"$outPath/$t.$ext") { out =>
+          emit(out, Dump.composeCopyright() + cfg.dialect.header + "\n")
+          emitTable(out, t, None, withSep = false)
+          emit(out, "\n" + cfg.dialect.footer)
+        }
+        for (r <- regions; t <- regionTs) assemble(s"$outPath/$r/$t.$ext") { out =>
+          emit(out, Dump.composeCopyright() + cfg.dialect.header)
+          emitTable(out, t, Some(r), withSep = true)
+          emit(out, "\n" + cfg.dialect.footer)
+        }
+    }
+    // clean staging
+    val sfs = new Path(staging).getFileSystem(conf)
+    sfs.delete(new Path(staging), true)
+    files.toSeq
+  }
+
+  /**
+   * Executor-parallel region_tree dump for one region-partitioned table
+   * (kept as the single-table convenience over writeParallel).
+   */
+  def regionTreeParallel(spark: SparkSession, df: DataFrame, table: String,
+      outPath: String, cfg: Config): Seq[String] =
+    writeParallel(spark, Seq(table -> df), outPath, cfg.copy(mode = RegionTree))
 }

@@ -1,6 +1,8 @@
 package graft.sources
 
-import graft.model.SchemaRegistry
+import graft.model.{SchemaRegistry, XsdSchema}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
@@ -9,18 +11,31 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
  * GAR XML ingest (SURVEY.md SRC-1..4): the Spark re-expression of the
  * reference's streaming scan (/root/reference/ru_address/source/xml.py:19-38).
  *
- * Per-task pull parsing with StAX (javax.xml.stream, JDK built-in): each task
- * streams one XML file element by element — the same constant-memory property
- * as the reference's iterparse + buffer reclamation (xml.py:69-71), but one
- * task per (region, table) file, so ingest parallelism = number of files.
+ * Scale shape:
+ *  - files are read through the Hadoop FileSystem API (HDFS/S3/local all
+ *    work — executors must not assume a shared POSIX filesystem);
+ *  - large files are SPLIT into byte-range chunks, each scanned by its own
+ *    task from the first element boundary past the chunk start (offset-split
+ *    with element-boundary resync), so ingest parallelism >= cores instead of
+ *    <= files. A task owns the elements that *start* inside its range —
+ *    standard Hadoop split semantics;
+ *  - every row carries `ord` = the element's byte offset in its file, so
+ *    document order (ORD-1) is reconstructible after any shuffle with a plain
+ *    `orderBy(ord)`;
+ *  - per-task memory is constant: the scanner holds one element's bytes at a
+ *    time, mirroring the reference's iterparse + buffer reclamation
+ *    (xml.py:69-71).
  *
- * Projection is schema-driven exactly like the reference (xml.py:25): the
- * registry's field list is iterated in order; missing XML attributes become
- * NULL, extra attributes are dropped.
+ * Schema + entity tag come from the *runtime-parsed XSD* (XsdSchema, SRC-2),
+ * exactly like the reference's Definition — a GAR schema update changes the
+ * engine's behavior without a code change. The registry remains a fallback
+ * for XSD-less use.
  */
 object GarXml {
 
-  /** Parse a single XML stream into typed Rows per the table schema. */
+  /** Parse a single XML stream into typed Rows per the table schema (StAX
+    * whole-file path — the test oracle for the split scanner, and the shape
+    * check for fixtures). */
   def parseStream(in: java.io.InputStream, schema: StructType, entityTag: String): Iterator[Row] = {
     val factory = XMLInputFactory.newInstance()
     factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
@@ -57,7 +72,7 @@ object GarXml {
   }
 
   /** XSD->engine typed value (the reference passes strings through; we land
-    * them in the registry's Spark types). */
+    * them in the XSD-derived Spark types). */
   private def cast(v: String, t: DataType): Any = t match {
     case StringType => v
     case LongType => v.toLong
@@ -69,44 +84,141 @@ object GarXml {
     case other => sys.error(s"unexpected GAR type $other")
   }
 
-  /** Entity (row) tag for a table: GAR files use singular-ish element names;
-    * the registry supplies them the way the XSD's entity tag would
-    * (xml.py:106-116). */
-  def entityTag(table: String): String = SchemaRegistry.entityOf(table) match {
-    case "ADDR_OBJ" => "OBJECT"
-    case "ADDR_OBJ_DIVISION" => "ITEM"
-    case "ADDR_OBJ_TYPES" => "ADDRESSOBJECTTYPE"
-    case "ADM_HIERARCHY" | "MUN_HIERARCHY" => "ITEM"
-    case "APARTMENT_TYPES" => "APARTMENTTYPE"
-    case "APARTMENTS" => "APARTMENT"
-    case "CARPLACES" => "CARPLACE"
-    case "CHANGE_HISTORY" => "ITEM"
-    case "HOUSE_TYPES" => "HOUSETYPE"
-    case "HOUSES" => "HOUSE"
-    case "NORMATIVE_DOCS" => "NORMDOC"
-    case "NORMATIVE_DOCS_KINDS" => "NDOCKIND"
-    case "NORMATIVE_DOCS_TYPES" => "NDOCTYPE"
-    case "OBJECT_LEVELS" => "OBJECTLEVEL"
-    case "OPERATION_TYPES" => "OPERATIONTYPE"
-    case "PARAM" => "PARAM"
-    case "PARAM_TYPES" => "PARAMTYPE"
-    case "REESTR_OBJECTS" => "OBJECT"
-    case "ROOM_TYPES" => "ROOMTYPE"
-    case "ROOMS" => "ROOM"
-    case "STEADS" => "STEAD"
-    case e => e
+  // ------------------------------------------------------- split scanning
+
+  /** One scanned element: byte offset of its '<' plus its attribute map. */
+  private[sources] case class RawElem(offset: Long, attrs: Map[String, String])
+
+  /**
+   * Byte-range element scanner: yields every `<tag ...>` element whose start
+   * offset is in [start, end) — reading past `end` to finish the last owned
+   * element. ASCII byte matching is safe inside UTF-8 (multi-byte sequences
+   * never contain ASCII bytes). Attribute values handle the five named XML
+   * entities, numeric character references, and XML attribute-value
+   * whitespace normalization (literal tab/newline/CR -> space), matching what
+   * a conforming parser (lxml in the reference, StAX here) produces.
+   */
+  private[sources] def scanElements(in: java.io.InputStream, start: Long, end: Long,
+      tag: String): Iterator[RawElem] = {
+    val pat = ("<" + tag).getBytes("US-ASCII")
+    val bin = new java.io.BufferedInputStream(in, 1 << 16)
+    new Iterator[RawElem] {
+      private var pos = start          // absolute offset of the NEXT byte to read
+      private var nextElem: RawElem = _
+      private var done = false
+
+      private def readByte(): Int = { val b = bin.read(); if (b >= 0) pos += 1; b }
+
+      private def advance(): Unit = {
+        nextElem = null
+        var matched = 0
+        while (nextElem == null && !done) {
+          if (pos - pat.length >= end && matched == 0) { done = true; bin.close(); return }
+          val b = readByte()
+          if (b < 0) { done = true; bin.close(); return }
+          if (b == pat(matched)) {
+            matched += 1
+            if (matched == pat.length) {
+              // delimiter required: "<OBJECT" must not match "<OBJECTLEVEL"
+              val d = readByte()
+              matched = 0
+              if (d == ' ' || d == '\t' || d == '\n' || d == '\r' || d == '/' || d == '>') {
+                val elemStart = pos - pat.length - 1
+                if (elemStart >= end) { done = true; bin.close(); return }
+                nextElem = RawElem(elemStart, parseAttrs(d))
+              }
+            }
+          } else matched = if (b == pat(0)) 1 else 0
+        }
+      }
+
+      /** Parse attributes from just after the tag name to the closing '>'. */
+      private def parseAttrs(first: Int): Map[String, String] = {
+        val attrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        var b = first
+        while (b >= 0 && b != '>') {
+          if (b == '/') { b = readByte() } // self-close
+          else if (b == ' ' || b == '\t' || b == '\n' || b == '\r') b = readByte()
+          else {
+            val name = new java.lang.StringBuilder
+            while (b >= 0 && b != '=' && b != ' ' && b != '>' && b != '/') {
+              name.append(b.toChar); b = readByte()
+            }
+            while (b == ' ' || b == '\t' || b == '\n' || b == '\r') b = readByte()
+            if (b == '=') {
+              b = readByte()
+              while (b == ' ' || b == '\t' || b == '\n' || b == '\r') b = readByte()
+              val quote = b
+              val raw = new java.io.ByteArrayOutputStream(64)
+              b = bin.read(); if (b >= 0) pos += 1
+              while (b >= 0 && b != quote) { raw.write(b); b = bin.read(); if (b >= 0) pos += 1 }
+              attrs(name.toString) = decodeAttr(raw.toString("UTF-8"))
+              b = readByte()
+            }
+          }
+        }
+        attrs.toMap
+      }
+      def hasNext: Boolean = { if (nextElem == null && !done) advance(); nextElem != null }
+      def next(): RawElem = {
+        if (!hasNext) throw new NoSuchElementException
+        val e = nextElem; nextElem = null; e
+      }
+    }
   }
+
+  /** XML attribute-value decode: entities + whitespace normalization. */
+  private[sources] def decodeAttr(s: String): String = {
+    if (s.indexOf('&') < 0 && s.indexOf('\t') < 0 && s.indexOf('\n') < 0 && s.indexOf('\r') < 0)
+      return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\t' || c == '\n' || c == '\r') { sb.append(' '); i += 1 }
+      else if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi < 0) { sb.append(c); i += 1 }
+        else {
+          val ent = s.substring(i + 1, semi)
+          ent match {
+            case "amp" => sb.append('&')
+            case "lt" => sb.append('<')
+            case "gt" => sb.append('>')
+            case "quot" => sb.append('"')
+            case "apos" => sb.append('\'')
+            case _ if ent.startsWith("#x") || ent.startsWith("#X") =>
+              sb.appendCodePoint(Integer.parseInt(ent.substring(2), 16))
+            case _ if ent.startsWith("#") =>
+              sb.appendCodePoint(Integer.parseInt(ent.substring(1)))
+            case _ => sb.append('&').append(ent).append(';')
+          }
+          i = semi + 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // --------------------------------------------------------- discovery
+
+  private def fs(path: String, conf: Configuration): FileSystem =
+    new Path(path).getFileSystem(conf)
 
   /**
    * Source-file discovery (SRC-3, common.py:47-60): glob AS_{table}_2*.{ext}
-   * case-insensitive extension; exactly one match required.
+   * case-insensitive extension; exactly one match required. Hadoop FS, so it
+   * works on HDFS/S3 as well as local dirs.
    */
-  def discoverFile(dir: String, table: String, ext: String): String = {
-    val d = new java.io.File(dir)
-    val pattern = ("(?i)AS_" + java.util.regex.Pattern.quote(table) + "_2.*\\." + ext + "$").r
-    val found = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => pattern.findFirstIn(f.getName).isDefined)
-      .map(_.getAbsolutePath).sorted
+  def discoverFile(dir: String, table: String, ext: String,
+      conf: Configuration = new Configuration()): String = {
+    val f = fs(dir, conf)
+    val found = Seq(ext.toLowerCase, ext.toUpperCase).flatMap { e =>
+      f.globStatus(new Path(dir, s"AS_${table}_2*.$e")) match {
+        case null => Nil
+        case st => st.toSeq.map(_.getPath.toString)
+      }
+    }.distinct.sorted
     if (found.length > 1) throw new java.io.FileNotFoundException(
       s"More than one file found for $table in $dir")
     if (found.isEmpty) throw new java.io.FileNotFoundException(
@@ -115,40 +227,89 @@ object GarXml {
   }
 
   /** Partition discovery (SRC-4, dump.py:12-14): numeric subdirectories. */
-  def discoverRegions(sourceDir: String): Seq[String] = {
-    val d = new java.io.File(sourceDir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
-      .map(_.getName).sorted.toSeq
+  def discoverRegions(sourceDir: String,
+      conf: Configuration = new Configuration()): Seq[String] = {
+    val f = fs(sourceDir, conf)
+    f.listStatus(new Path(sourceDir)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.nonEmpty &&
+        st.getPath.getName.forall(_.isDigit))
+      .map(_.getPath.getName).sorted
+  }
+
+  /** Runtime definition for a table: discover + parse its XSD (SRC-2). The
+    * XSD is authoritative for schema, entity tag and collection tag, exactly
+    * like the reference (dump.py:60-61). */
+  def definitionOf(schemaDir: String, table: String,
+      conf: Configuration = new Configuration()): XsdSchema.Definition = {
+    val entity = SchemaRegistry.entityOf(table)
+    val xsdPath = discoverFile(schemaDir, entity, "xsd", conf)
+    val in = fs(xsdPath, conf).open(new Path(xsdPath))
+    try XsdSchema.parse(in) finally { /* parse closes */ }
   }
 
   /**
-   * Distributed read of one table across regions: one task per (region, file).
-   * Files are claimed via binaryFile-style streaming inside mapPartitions, so
-   * a 30 GB region file never materialises in memory (SRC-1's constant-memory
-   * property per task).
+   * Distributed read of one table across regions, schema-driven by the
+   * runtime-parsed XSD. Output columns: XSD fields ++ (region, ord).
+   *
+   * @param chunkBytes byte-range split size; files larger than this are read
+   *                   by multiple tasks (element-boundary resync at offsets).
    */
   def read(spark: SparkSession, sourceDir: String, table: String,
-      regions: Seq[String] = Nil): DataFrame = {
-    val schema = SchemaRegistry.schemaOf(table)
-    val tag = entityTag(table)
+      regions: Seq[String] = Nil, schemaDir: String = null,
+      chunkBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sDir = if (schemaDir == null) sourceDir else schemaDir
+    val defn =
+      try definitionOf(sDir, table, conf)
+      catch { case _: java.io.FileNotFoundException =>
+        // registry fallback: no XSD shipped alongside the data
+        XsdSchema.Definition(
+          XsdSchema.collectionTagOf(SchemaRegistry.entityOf(table)),
+          XsdSchema.entityTagOf(SchemaRegistry.entityOf(table)),
+          SchemaRegistry.schemaOf(table).fields.toSeq, "")
+      }
+    val schema = defn.schema
+    val tag = defn.entityTag
+
     val isCommon = SchemaRegistry.commonTables.exists(_._1 == table)
     val files: Seq[(String, String)] =
-      if (isCommon) Seq("" -> discoverFile(sourceDir, table, "xml"))
+      if (isCommon) Seq("" -> discoverFile(sourceDir, table, "xml", conf))
       else {
-        val regs = if (regions.nonEmpty) regions else discoverRegions(sourceDir)
-        regs.map(r => r -> discoverFile(s"$sourceDir/$r", table, "xml"))
+        val regs = if (regions.nonEmpty) regions else discoverRegions(sourceDir, conf)
+        regs.map(r => r -> discoverFile(s"$sourceDir/$r", table, "xml", conf))
       }
-    val withRegion = StructType(schema.fields :+ StructField("region", StringType, nullable = true))
+
+    // offset splits: ingest parallelism >= cores even for one huge file
+    val chunks: Seq[(String, String, Long, Long)] = files.flatMap { case (region, path) =>
+      val len = fs(path, conf).getFileStatus(new Path(path)).getLen
+      val n = math.max(1L, (len + chunkBytes - 1) / chunkBytes)
+      (0L until n).map(i => (region, path, i * chunkBytes, math.min(len, (i + 1) * chunkBytes)))
+    }
+
+    val withMeta = StructType(schema.fields ++ Seq(
+      StructField("region", StringType, nullable = true),
+      StructField("ord", LongType, nullable = false)))
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val fieldArr = schema.fields
     val rdd = spark.sparkContext
-      .parallelize(files, math.max(1, files.size))
-      .flatMap { case (region, path) =>
-        val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
-        parseStream(in, schema, tag).map(r =>
-          Row.fromSeq(r.toSeq :+ (if (region.isEmpty) null else region)))
+      .parallelize(chunks, math.max(1, chunks.size))
+      .flatMap { case (region, path, start, end) =>
+        val p = new Path(path)
+        val stream = p.getFileSystem(serConf.value).open(p)
+        if (start > 0) stream.seek(start)
+        scanElements(stream, start, end, tag).map { e =>
+          val vals = fieldArr.map(f =>
+            e.attrs.get(f.name).map(v => cast(v, f.dataType)).orNull)
+          Row.fromSeq((vals :+ (if (region.isEmpty) null else region) :+ e.offset).toSeq)
+        }
       }
-    spark.createDataFrame(rdd, withRegion)
+    spark.createDataFrame(rdd, withMeta)
   }
+
+  /** Entity (row) tag fallback for a table (fixture tags; real reads derive
+    * the tag from the XSD — xml.py:106-116). */
+  def entityTag(table: String): String =
+    XsdSchema.entityTagOf(SchemaRegistry.entityOf(table))
 
   /** Render fixture rows back to GAR-shaped XML (test/golden support). */
   def toXml(rows: Seq[Row], schema: StructType, collectionTag: String, tag: String): String = {

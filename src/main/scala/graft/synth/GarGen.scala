@@ -16,7 +16,11 @@ object GarGen {
   private val NamePool = Vector(
     "Николаевка", "Красный Яр \"Южный\"", "Back\\slash", "ул. Мира",
     "О'Хара", "с.Ильинка", "Tab\tSep", "Plain", "имени В. И. Чапаева",
-    "пос. Зелёный, д.7")
+    "пос. Зелёный, д.7",
+    // literal bool words in a *string* field: the reference bool-encodes the
+    // strings "true"/"false" in ANY column (source/xml.py:29-32), so parity
+    // fixtures must exercise that path
+    "true", "false")
 
   private def seedOf(table: String, region: String, row: Long, fieldIdx: Int): Long =
     graft.geo.TextAlgos.fnv1a64(s"$table|$region") * 1000003L + row * 131L + fieldIdx

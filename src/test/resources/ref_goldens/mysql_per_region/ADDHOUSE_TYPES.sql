@@ -1,0 +1,21 @@
+-- --------------------------------------------------------------------------------- --
+-- ru_address v2.2.1 -- get latest version at https://github.com/shadz3rg/ru_address --
+-- generated at 2026-08-16 14:41:36.220930                                           --
+-- --------------------------------------------------------------------------------- --
+
+/*!40101 SET @OLD_CHARACTER_SET_CLIENT=@@CHARACTER_SET_CLIENT */;
+/*!40101 SET NAMES utf8mb4 */;
+/*!40014 SET @OLD_FOREIGN_KEY_CHECKS=@@FOREIGN_KEY_CHECKS, FOREIGN_KEY_CHECKS=0 */;
+/*!40101 SET @OLD_SQL_MODE=@@SQL_MODE, SQL_MODE='NO_AUTO_VALUE_ON_ZERO' */;
+
+-- Table: `ADDHOUSE_TYPES`
+
+/*!40000 ALTER TABLE `ADDHOUSE_TYPES` DISABLE KEYS */;
+INSERT INTO `ADDHOUSE_TYPES` (`ID`, `NAME`, `SHORTNAME`, `DESC`, `UPDATEDATE`, `STARTDATE`, `ENDDATE`, `ISACTIVE`) VALUES 
+	("354363", "имени В. И. Чапаева", "Back\\slash", "Красный Яр \"Южный\"", "2022-09-23", "2024-07-27", "2023-02-12", 0),
+	("588207", "пос. Зелёный, д.7", "ул. Мира", "пос. Зелёный, д.7", "2022-11-17", "2021-10-10", "2022-11-02", 1);
+/*!40000 ALTER TABLE `ADDHOUSE_TYPES` ENABLE KEYS */;
+
+/*!40101 SET SQL_MODE=IFNULL(@OLD_SQL_MODE, '') */;
+/*!40014 SET FOREIGN_KEY_CHECKS=IF(@OLD_FOREIGN_KEY_CHECKS IS NULL, 1, @OLD_FOREIGN_KEY_CHECKS) */;
+/*!40101 SET CHARACTER_SET_CLIENT=@OLD_CHARACTER_SET_CLIENT */;

@@ -140,17 +140,19 @@ class DumpSpec extends AnyFunSuite {
   }
 
   test("dump job: direct mode concatenates with meta headers and separators") {
-    val out = java.nio.file.Files.createTempDirectory("dump_direct").toString + "/all"
+    val out = java.nio.file.Files.createTempDirectory("dump_direct").toString + "/all.sql"
     val cfg = DumpJob.Config(
       tables = Seq("HOUSE_TYPES", "ADDR_OBJ"),
       regions = Seq("01"),
-      dialect = Dump.mysql, mode = DumpJob.Direct, includeMeta = true, batchSize = 500)
+      dialect = Dump.mysqlWith("utf8mb4"), mode = DumpJob.Direct, includeMeta = true, batchSize = 500)
     DumpJob.write((t, r) => GarGen.df(spark, t, r.getOrElse("00"), 2), out, cfg)
-    val body = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$out.sql")), "UTF-8")
-    assert(body.contains("-- Table: `HOUSE_TYPES`\n"))
-    assert(body.contains("-- Region: `01`, Table: `ADDR_OBJ`\n"))
+    val body = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)), "UTF-8")
+    // "\n" precedes every separator and the footer (output.py:59,68,72)
+    assert(body.contains("\n\n-- Table: `HOUSE_TYPES`\n"))
+    assert(body.contains("\n-- Region: `01`, Table: `ADDR_OBJ`\n"))
     assert(body.startsWith("-- ---"))
     assert(body.contains("/*!40101 SET NAMES utf8mb4 */;\n"))
+    assert(body.contains(";\n\n/*!40101 SET SQL_MODE=IFNULL(@OLD_SQL_MODE, '') */;\n"))
     assert(body.endsWith("/*!40101 SET CHARACTER_SET_CLIENT=@OLD_CHARACTER_SET_CLIENT */;\n"))
     val idxCommon = body.indexOf("-- Table: `HOUSE_TYPES`")
     val idxRegion = body.indexOf("-- Region: `01`")

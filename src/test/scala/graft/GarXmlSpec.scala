@@ -35,13 +35,37 @@ class GarXmlSpec extends AnyFunSuite {
     assert(GarXml.discoverRegions(root) == Seq("01", "77"))
 
     val common = GarXml.read(spark, root, "HOUSE_TYPES")
-    val gotCommon = common.drop("region").collect().toSeq
+    val gotCommon = common.orderBy("ord").drop("region", "ord").collect().toSeq
     assert(gotCommon == GarGen.rows("HOUSE_TYPES", "00", 7))
 
     val regionDf = GarXml.read(spark, root, "ADDR_OBJ", Seq("01", "77"))
     assert(regionDf.count() == 18)
-    val got01 = regionDf.where("region = '01'").drop("region").collect().toSeq
+    val got01 = regionDf.where("region = '01'").orderBy("ord")
+      .drop("region", "ord").collect().toSeq
     assert(got01 == GarGen.rows("ADDR_OBJ", "01", 9))
+  }
+
+  test("split ingest: chunked byte-range scan == whole-file StAX scan") {
+    val root = Files.createTempDirectory("gar_split").toString
+    writeFixtureTree(root)
+    val whole = GarXml.read(spark, root, "ADDR_OBJ", Seq("01", "77"))
+      .orderBy("region", "ord").collect().toSeq
+    // tiny chunk size forces many splits with element-boundary resync; the
+    // result must be identical rows AND identical ord (document order)
+    for (chunk <- Seq(97L, 512L, 1999L)) {
+      val split = GarXml.read(spark, root, "ADDR_OBJ", Seq("01", "77"), chunkBytes = chunk)
+        .orderBy("region", "ord").collect().toSeq
+      assert(split == whole, s"chunkBytes=$chunk diverged")
+    }
+    assert(whole.size == 18)
+  }
+
+  test("split ingest: ord reconstructs exact document order per file") {
+    val root = Files.createTempDirectory("gar_ord").toString
+    writeFixtureTree(root)
+    val got = GarXml.read(spark, root, "ADDR_OBJ", Seq("77"), chunkBytes = 128)
+      .orderBy("ord").drop("region", "ord").collect().toSeq
+    assert(got == GarGen.rows("ADDR_OBJ", "77", 9))
   }
 
   test("xml scan preserves document order and handles escaped attribute values") {
@@ -76,7 +100,8 @@ class GarXmlSpec extends AnyFunSuite {
   test("full pipeline: XML ingest -> dump produces same bytes as direct fixture dump") {
     val root = Files.createTempDirectory("gar_e2e").toString
     writeFixtureTree(root)
-    val viaXml = GarXml.read(spark, root, "ADDR_OBJ", Seq("01")).drop("region")
+    val viaXml = GarXml.read(spark, root, "ADDR_OBJ", Seq("01"))
+      .orderBy("ord").drop("region", "ord")
     val direct = GarGen.df(spark, "ADDR_OBJ", "01", 9)
     val a = Dump.formatSlice(viaXml, "ADDR_OBJ", Dump.tsv)
     val b = Dump.formatSlice(direct, "ADDR_OBJ", Dump.tsv)

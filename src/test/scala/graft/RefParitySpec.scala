@@ -1,0 +1,189 @@
+package graft
+
+import graft.sinks.{Dump, DumpJob}
+import graft.sources.GarXml
+import graft.synth.GarFixture
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+/**
+ * Byte-parity against the REFERENCE ITSELF: the goldens under
+ * src/test/resources/ref_goldens were produced by running the unmodified
+ * `ru_address dump` CLI (with a stdlib lxml/psutil shim — tools/refshim/)
+ * over the exact fixture tree GarFixture.write() regenerates here
+ * (tools/gen_ref_goldens.sh). The engine ingests the same XML through the
+ * chunked split scanner + runtime XSD schemas and must reproduce every output
+ * file byte for byte — the ONLY normalization is the `-- generated at ...`
+ * timestamp line, which the reference itself makes non-deterministic
+ * (core.py:75-77).
+ *
+ * Covers: SRC-1..4 (XML ingest, XSD schema, discovery), PRJ-1/2, ENC-1..3
+ * (incl. the "true"/"false" *string* bool-encode, xml.py:29-32), BAT-1 (batch
+ * size 2 via RA_BATCH_SIZE), ORD-1, SNK-1..4, OUT-1..4, HDR-1, SEP-1, CFG-1
+ * (RA_SQL_ENCODING=utf8 run) — and the executor-parallel writer produces the
+ * same bytes as the reference's sequential one.
+ */
+class RefParitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val fix: String =
+    GarFixture.write(Files.createTempDirectory("garfix").toString)
+
+  private val goldenRoot = Paths.get("src/test/resources/ref_goldens")
+
+  private def norm(s: String): String =
+    s.replaceAll("(?m)^-- generated at .*--$", "-- generated at X --")
+
+  private def readFile(p: Path): String =
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+
+  /** Compare every golden file in `run` against the same relative path under
+    * `got`, and require the same file set. */
+  private def assertTreeEqual(run: String, got: String): Unit = {
+    val gold = goldenRoot.resolve(run)
+    val goldFiles = Files.walk(gold).filter(Files.isRegularFile(_))
+      .map[Path](gold.relativize(_)).toArray.map(_.asInstanceOf[Path]).toSeq.sortBy(_.toString)
+    assert(goldFiles.nonEmpty, s"no goldens for $run — run tools/gen_ref_goldens.sh")
+    val gotRoot = Paths.get(got)
+    val gotFiles = Files.walk(gotRoot).filter(Files.isRegularFile(_))
+      .map[Path](gotRoot.relativize(_)).toArray.map(_.asInstanceOf[Path]).toSeq
+      .filterNot(_.getFileName.toString.startsWith(".")) // Hadoop .crc sidecars
+      .sortBy(_.toString)
+    assert(gotFiles == goldFiles, s"$run: file sets differ\n got: $gotFiles\ngold: $goldFiles")
+    for (rel <- goldFiles) {
+      val want = norm(readFile(gold.resolve(rel)))
+      val have = norm(readFile(gotRoot.resolve(rel)))
+      assert(have == want, s"$run/$rel differs from reference output")
+    }
+  }
+
+  /** XSD-schema-driven, split-scanned, order-restored slice — tiny chunk size
+    * so even this small fixture exercises multi-chunk boundary resync. */
+  private def provider: DumpJob.SliceProvider = (table, region) => {
+    val df = GarXml.read(spark, fix, table, region.toSeq, chunkBytes = 384)
+    val dataCols = df.schema.fieldNames.filterNot(n => n == "region" || n == "ord")
+    df.orderBy("ord").select(dataCols.map(col): _*)
+  }
+
+  private def cfg(target: String, mode: DumpJob.Mode, batch: Int = 500,
+      encoding: String = "utf8mb4"): DumpJob.Config = {
+    val dialect = target match {
+      case "mysql" => Dump.mysqlWith(encoding)
+      case other => Dump.dialects(other)
+    }
+    DumpJob.Config(GarFixture.tables, GarFixture.regions, dialect, mode,
+      includeMeta = target != "csv" && target != "tsv", batchSize = batch)
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // ------------------------------------------------- driver-streamed modes
+
+  test("parity: mysql region_tree == reference CLI output") {
+    val out = tmp("p_mrt")
+    DumpJob.write(provider, out, cfg("mysql", DumpJob.RegionTree))
+    assertTreeEqual("mysql_region_tree", out)
+  }
+
+  test("parity: mysql per_table == reference CLI output") {
+    val out = tmp("p_mpt")
+    DumpJob.write(provider, out, cfg("mysql", DumpJob.PerTable))
+    assertTreeEqual("mysql_per_table", out)
+  }
+
+  test("parity: mysql per_region == reference CLI output") {
+    val out = tmp("p_mpr")
+    DumpJob.write(provider, out, cfg("mysql", DumpJob.PerRegion))
+    assertTreeEqual("mysql_per_region", out)
+  }
+
+  test("parity: mysql direct == reference CLI output") {
+    val out = tmp("p_md")
+    DumpJob.write(provider, s"$out/out.sql", cfg("mysql", DumpJob.Direct))
+    assertTreeEqual("mysql_direct", out)
+  }
+
+  test("parity: mysql direct, RA_BATCH_SIZE=2 + RA_SQL_ENCODING=utf8 (CFG-1)") {
+    val out = tmp("p_mdb2")
+    DumpJob.write(provider, s"$out/out.sql",
+      cfg("mysql", DumpJob.Direct, batch = 2, encoding = "utf8"))
+    assertTreeEqual("mysql_direct_b2", out)
+  }
+
+  test("parity: psql direct == reference CLI output") {
+    val out = tmp("p_pd")
+    DumpJob.write(provider, s"$out/out.sql", cfg("psql", DumpJob.Direct))
+    assertTreeEqual("psql_direct", out)
+  }
+
+  test("parity: psql region_tree == reference CLI output") {
+    val out = tmp("p_prt")
+    DumpJob.write(provider, out, cfg("psql", DumpJob.RegionTree))
+    assertTreeEqual("psql_region_tree", out)
+  }
+
+  test("parity: csv region_tree == reference CLI output") {
+    val out = tmp("p_crt")
+    DumpJob.write(provider, out, cfg("csv", DumpJob.RegionTree))
+    assertTreeEqual("csv_region_tree", out)
+  }
+
+  test("parity: tsv region_tree == reference CLI output") {
+    val out = tmp("p_trt")
+    DumpJob.write(provider, out, cfg("tsv", DumpJob.RegionTree))
+    assertTreeEqual("tsv_region_tree", out)
+  }
+
+  // ----------------------------------------------- executor-parallel path
+
+  /** (table, df-with-region+ord) inputs for writeParallel. */
+  private def tableDfs(tables: Seq[String]): Seq[(String, DataFrame)] = {
+    val common = GarFixture.commonTables.toSet
+    tables.map { t =>
+      val regs = if (common(t)) Nil else GarFixture.regions
+      t -> GarXml.read(spark, fix, t, regs, chunkBytes = 384)
+    }
+  }
+
+  test("parity: executor-parallel region_tree == reference CLI output") {
+    val out = tmp("pp_mrt")
+    DumpJob.writeParallel(spark, tableDfs(GarFixture.tables), out,
+      cfg("mysql", DumpJob.RegionTree), stagingDir = tmp("pp_mrt_stage"))
+    assertTreeEqual("mysql_region_tree", out)
+  }
+
+  test("parity: executor-parallel per_region == reference CLI output") {
+    val out = tmp("pp_mpr")
+    DumpJob.writeParallel(spark, tableDfs(GarFixture.tables), out,
+      cfg("mysql", DumpJob.PerRegion), stagingDir = tmp("pp_mpr_stage"))
+    assertTreeEqual("mysql_per_region", out)
+  }
+
+  test("parity: executor-parallel direct == reference CLI output") {
+    val out = tmp("pp_md")
+    DumpJob.writeParallel(spark, tableDfs(GarFixture.tables), s"$out/out.sql",
+      cfg("mysql", DumpJob.Direct), stagingDir = tmp("pp_md_stage"))
+    assertTreeEqual("mysql_direct", out)
+  }
+
+  test("parallel writer: regions sharing one shuffle partition get separate, correct files") {
+    // force hash collisions: 2 shuffle partitions, 2 regions + common rows
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val out = tmp("pp_collide")
+      DumpJob.writeParallel(spark, tableDfs(Seq("ADDR_OBJ")), out,
+        cfg("tsv", DumpJob.RegionTree), stagingDir = tmp("pp_collide_stage"))
+      // with 1 shuffle partition, regions 01 and 77 are formatted by ONE task;
+      // each must still land in its own file with exactly its own rows
+      val g01 = norm(readFile(goldenRoot.resolve("tsv_region_tree/01/ADDR_OBJ.tsv")))
+      val g77 = norm(readFile(goldenRoot.resolve("tsv_region_tree/77/ADDR_OBJ.tsv")))
+      assert(norm(readFile(Paths.get(s"$out/01/ADDR_OBJ.tsv"))) == g01)
+      assert(norm(readFile(Paths.get(s"$out/77/ADDR_OBJ.tsv"))) == g77)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}

@@ -1,0 +1,62 @@
+"""stdlib-backed shim for the lxml.etree subset used by ru_address's dump path.
+
+Covered (see /root/reference/ru_address/source/xml.py):
+  - iterparse(source, events=('end',), tag=...)   -> xml.py:19
+  - element .get / .clear                          -> xml.py:27-37, 69
+  - element .getprevious/.getparent                -> xml.py:70-71 (buffer
+    reclamation only; no-op here — output-identical, just uses more memory)
+  - parse(file) + find/findall with namespaces     -> xml.py:86-116
+
+NOT covered: XSLT (only the `schema` subcommand needs it).
+"""
+import xml.etree.ElementTree as _ET
+
+
+class _Elem:
+    """iterparse element wrapper adding lxml's tree-navigation no-ops."""
+    __slots__ = ("_e",)
+
+    def __init__(self, e):
+        self._e = e
+
+    def get(self, key, default=None):
+        return self._e.get(key, default)
+
+    @property
+    def tag(self):
+        return self._e.tag
+
+    @property
+    def attrib(self):
+        return self._e.attrib
+
+    def clear(self):
+        self._e.clear()
+
+    def getprevious(self):
+        return None
+
+    def getparent(self):
+        return None
+
+
+def iterparse(source, events=("end",), tag=None):
+    for event, elem in _ET.iterparse(source, events=events):
+        if tag is None or elem.tag == tag:
+            yield event, _Elem(elem)
+        elif event == "end":
+            elem.clear()  # keep memory flat for non-matching elements
+
+
+def parse(source):
+    return _ET.parse(source)
+
+
+def fromstring(text):
+    return _ET.fromstring(text)
+
+
+class XSLT:  # pragma: no cover - schema subcommand only
+    def __init__(self, *a, **k):
+        raise NotImplementedError(
+            "XSLT is not provided by the stdlib shim (dump path does not use it)")
