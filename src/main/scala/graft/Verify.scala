@@ -34,8 +34,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // doc-store oracles read the engine's own partitioned parquet store;
+    // resolve the placeholder to this run's absolute store path
+    val storeAbs = new java.io.File(
+      graft.sources.DocStore.path(SparkEntry.sfOf(sfDir))).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__DOCSTORE__", storeAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
