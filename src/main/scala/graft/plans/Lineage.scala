@@ -28,7 +28,11 @@ object Lineage {
   case class PartitionRecord(stage: String, region: String, rows: Long, wallMs: Long)
 
   def progressPath(outPath: String): String = s"$outPath/_progress"
-  def dataPath(outPath: String): String = s"$outPath/data"
+
+  /** Data is scoped per stage: healing compares a stage's on-disk region dirs
+    * against ITS manifest only, so one stage's torn write can never delete
+    * another stage's committed data under the same output root. */
+  def dataPath(outPath: String, stage: String): String = s"$outPath/data/$stage"
 
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
@@ -53,9 +57,9 @@ object Lineage {
       .write.mode(SaveMode.Append).parquet(progressPath(outPath))
   }
 
-  /** Region partition dirs currently present under data/ (region=NN names). */
-  private def regionsOnDisk(spark: SparkSession, outPath: String): Set[String] = {
-    val d = new Path(dataPath(outPath))
+  /** Region partition dirs currently present for a stage (region=NN names). */
+  private def regionsOnDisk(spark: SparkSession, outPath: String, stage: String): Set[String] = {
+    val d = new Path(dataPath(outPath, stage))
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(d)) return Set.empty
     fs.listStatus(d).toSeq.collect {
@@ -77,11 +81,11 @@ object Lineage {
 
     // heal: data written for a region without its commit record is a torn
     // write from a crashed run — delete before reprocessing (idempotence)
-    val torn = regionsOnDisk(spark, outPath) -- done
+    val torn = regionsOnDisk(spark, outPath, stage) -- done
     if (torn.nonEmpty) {
-      val fs = new Path(dataPath(outPath))
+      val fs = new Path(dataPath(outPath, stage))
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      torn.foreach(r => fs.delete(new Path(dataPath(outPath), s"region=$r"), true))
+      torn.foreach(r => fs.delete(new Path(dataPath(outPath, stage), s"region=$r"), true))
     }
 
     val all = input.select("region").distinct()
@@ -94,16 +98,37 @@ object Lineage {
     val out = transform(slice)
     require(out.columns.contains("region"),
       "resumable transform must preserve the region partition column")
-    out.write.mode(SaveMode.Append).partitionBy("region").parquet(dataPath(outPath))
+    // live task metrics (MET-1) captured around the stage's write and surfaced
+    // next to the manifest as _metrics/{stage}.json
+    val (_, snap) = Metrics.measure(spark) {
+      out.write.mode(SaveMode.Append).partitionBy("region").parquet(dataPath(outPath, stage))
+    }
+    writeMetrics(spark, outPath, stage, snap)
 
     // read back with the transform's schema: partition-dir type inference
     // would coerce zero-padded region strings to ints
-    val counts = spark.read.schema(out.schema).parquet(dataPath(outPath))
+    val counts = spark.read.schema(out.schema).parquet(dataPath(outPath, stage))
       .where(col("region").isin(todo.toSeq: _*))
       .groupBy("region").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     record(spark, outPath, stage, counts, System.currentTimeMillis() - t0)
     todo
+  }
+
+  /** Stage-level task-metrics snapshot, next to the manifest. */
+  def metricsPath(outPath: String, stage: String): String = s"$outPath/_metrics/$stage.json"
+
+  private def writeMetrics(spark: SparkSession, outPath: String, stage: String,
+      snap: Metrics.Snapshot): Unit = {
+    val p = new Path(metricsPath(outPath, stage))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val json =
+      s"""{"stage": "$stage", "rowsRead": ${snap.rowsRead}, "bytesRead": ${snap.bytesRead},
+         | "rowsWritten": ${snap.rowsWritten}, "bytesWritten": ${snap.bytesWritten},
+         | "tasks": ${snap.tasks}, "wallMs": ${snap.wallMs}}""".stripMargin
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** The lineage/metrics view for inspection. */

@@ -24,6 +24,15 @@ object Ddl {
       includeKeys: Boolean = true,
       tableComment: String = "")
 
+  object Options {
+    /** ENV-driven knobs (CFG-1): RA_INCLUDE_DROP (schema.py:105,125,144) and
+      * RA_TABLE_ENGINE (schema.py:106-107,145-146). */
+    def fromEnv(includeKeys: Boolean = true): Options = Options(
+      includeDrop = sys.env.getOrElse("RA_INCLUDE_DROP", "1") == "1",
+      tableEngine = sys.env.getOrElse("RA_TABLE_ENGINE", ""),
+      includeKeys = includeKeys)
+  }
+
   private def engineOf(d: Dialect, o: Options): String =
     if (o.tableEngine.nonEmpty) o.tableEngine
     else d match {
@@ -126,4 +135,42 @@ object Ddl {
       createTable(table, SchemaRegistry.schemaOf(table), d, opts,
         Some(SchemaRegistry.primaryKey(table)))
     }.mkString
+
+  /**
+   * The `schema` command's output contract (command.py:50-60): if `outPath`
+   * is an existing directory, one `{TABLE}.sql` file per table, each with the
+   * copyright banner; otherwise a single file = banner + concatenated DDL.
+   * When `schemaDir` is given, table schemas/comments derive from the runtime
+   * -parsed XSDs (schema.py:63-71) instead of the registry. Returns the
+   * files written.
+   */
+  def writeSchema(outPath: String, d: Dialect, tables: Seq[String],
+      opts: Options = Options(), schemaDir: Option[String] = None,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    def ddlOf(table: String): String = schemaDir match {
+      case Some(dir) =>
+        val defn = graft.sources.GarXml.definitionOf(dir, table, conf)
+        createTable(table, defn.schema, d,
+          opts.copy(tableComment = defn.tableComment),
+          Some(SchemaRegistry.primaryKey(table)))
+      case None =>
+        createTable(table, SchemaRegistry.schemaOf(table), d, opts,
+          Some(SchemaRegistry.primaryKey(table)))
+    }
+    val ordered = SchemaRegistry.knownTables.map(_._1).filter(tables.contains)
+    val outP = new Path(outPath)
+    val fs = outP.getFileSystem(conf)
+    def write(p: Path, body: String): String = {
+      val out = fs.create(p, true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      p.toString
+    }
+    if (fs.exists(outP) && fs.getFileStatus(outP).isDirectory)
+      ordered.map(t => write(new Path(outP, s"$t.sql"), Dump.composeCopyright() + ddlOf(t)))
+    else
+      Seq(write(outP, Dump.composeCopyright() + ordered.map(ddlOf).mkString))
+  }
 }

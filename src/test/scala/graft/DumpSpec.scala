@@ -119,6 +119,39 @@ class DumpSpec extends AnyFunSuite {
     }
   }
 
+  test("schema command modes: dir -> file per table with copyright; file -> single concat") {
+    // dir mode (command.py:50-55)
+    val dir = java.nio.file.Files.createTempDirectory("schema_dir").toString
+    val files = Ddl.writeSchema(dir, Ddl.MySql, Seq("HOUSE_TYPES", "OBJECT_LEVELS"))
+    assert(files.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet ==
+      Set("HOUSE_TYPES.sql", "OBJECT_LEVELS.sql"))
+    val one = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "HOUSE_TYPES.sql")), "UTF-8")
+    assert(one.startsWith("-- ---") && one.contains("CREATE TABLE `HOUSE_TYPES`"))
+    assert(!one.contains("OBJECT_LEVELS"))
+
+    // file mode (command.py:56-60): one banner, all tables concatenated
+    val f = java.nio.file.Files.createTempDirectory("schema_file").toString + "/all.sql"
+    Ddl.writeSchema(f, Ddl.MySql, Seq("HOUSE_TYPES", "OBJECT_LEVELS"))
+    val all = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")
+    assert(all.startsWith("-- ---"))
+    assert(all.contains("CREATE TABLE `HOUSE_TYPES`") && all.contains("CREATE TABLE `OBJECT_LEVELS`"))
+    assert("-- generated at".r.findAllIn(all).size == 1)
+  }
+
+  test("schema command derives DDL from runtime-parsed XSDs when a schema dir is given") {
+    val fix = graft.synth.GarFixture.write(
+      java.nio.file.Files.createTempDirectory("schema_xsd").toString)
+    val f = java.nio.file.Files.createTempDirectory("schema_out").toString + "/ht.sql"
+    Ddl.writeSchema(f, Ddl.MySql, Seq("HOUSE_TYPES"), schemaDir = Some(fix))
+    val got = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")
+    // XSD-derived output equals registry-derived output except the table
+    // comment, which only the XSD carries (xs:annotation on the collection)
+    assert(got.contains("CREATE TABLE `HOUSE_TYPES`"))
+    assert(got.contains("`NAME` VARCHAR(250) NOT NULL COMMENT 'Наименование'"))
+    assert(got.contains("COMMENT='Fixture set for HOUSE_TYPES'"))
+  }
+
   test("dump job: region_tree mode writes the source-mirroring layout") {
     val out = java.nio.file.Files.createTempDirectory("dump_tree").toString
     val cfg = DumpJob.Config(

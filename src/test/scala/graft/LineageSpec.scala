@@ -31,7 +31,7 @@ class LineageSpec extends AnyFunSuite {
     assert(Lineage.runResumable(spark, docs, out, "geocode")(stage).isEmpty)
 
     // the final store equals a from-scratch full run (no dup, no loss)
-    val resumed = spark.read.parquet(s"$out/data")
+    val resumed = spark.read.parquet(Lineage.dataPath(out, "geocode"))
     val direct = stage(docs)
     assert(resumed.count() == direct.count())
     assert(resumed.select("doc_id", "offset").except(direct.select("doc_id", "offset")).count() == 0)
@@ -41,6 +41,41 @@ class LineageSpec extends AnyFunSuite {
     val recorded = prog.select("region").distinct().count()
     assert(recorded == docs.select("region").distinct().count())
     assert(prog.where(col("rows") <= 0 || col("wallMs") < 0).count() == 0)
+
+    // MET-1: a task-metrics snapshot sits next to the manifest and its write
+    // counter matches the stage's recorded output rows (second run's subset)
+    val metricsJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Lineage.metricsPath(out, "geocode"))), "UTF-8")
+    assert(metricsJson.contains("\"rowsWritten\""))
+    val written = "\"rowsWritten\": (\\d+)".r.findFirstMatchIn(metricsJson).get.group(1).toLong
+    val secondRunRows = prog.where(col("region").isin(second.toSeq: _*))
+      .agg(sum(col("rows"))).collect()(0).getLong(0)
+    assert(written == secondRunRows,
+      s"listener counted $written written rows; manifest says $secondRunRows")
+  }
+
+  test("torn write healed: crash between data write and commit record cannot duplicate rows") {
+    val p = DocStore.ensure(spark, 0.0005)
+    val docs = DocStore.readDf(spark, p)
+    val out = java.nio.file.Files.createTempDirectory("lineage_torn").toString
+    def stage(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "region")
+
+    // simulate the crash window the commit protocol must survive: region 05's
+    // DATA lands on disk but the process dies BEFORE record() writes the
+    // manifest row (data-then-manifest ordering, Lineage.runResumable)
+    stage(docs.where(col("region") === "05"))
+      .write.mode("append").partitionBy("region")
+      .parquet(Lineage.dataPath(out, "s"))
+    assert(Lineage.doneRegions(spark, out, "s").isEmpty) // uncommitted
+
+    // resume over the full input: the torn region is healed (deleted) and
+    // reprocessed — totals equal a from-scratch run, no duplicates
+    Lineage.runResumable(spark, docs, out, "s")(stage)
+    val resumed = spark.read.parquet(Lineage.dataPath(out, "s"))
+    assert(resumed.count() == docs.count())
+    assert(resumed.where(col("region") === "05").count() ==
+      docs.where(col("region") === "05").count())
   }
 
   test("a second stage tracks independently on the same output root") {
