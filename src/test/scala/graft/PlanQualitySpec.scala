@@ -60,6 +60,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
   }
 
+  test("minhash LSH: no shuffle carries document text through band join or pair-distinct") {
+    // the 100 TB property of the dedup pipeline: only (id, band) rides the
+    // band shuffle and only (id_a, id_b) rides the distinct; texts re-join
+    // once per unique pair at the end (fixed from r1, where payloads through
+    // the band shuffle made this one query 40% of the whole bench)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val docs = Seq(("1", "aaaa bbbb cccc"), ("2", "aaaa bbbb cccd"), ("3", "zzzz"))
+      .toDF("doc_id", "text")
+    val optimized = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", tau = 0.5)
+      .queryExecution.optimizedPlan
+
+    // the band equi-join's inputs must expose no text column
+    val bandJoins = optimized.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "band")) => j
+    }
+    assert(bandJoins.nonEmpty, optimized.toString)
+    for (j <- bandJoins; side <- j.children)
+      assert(!side.output.exists(_.name.startsWith("text")),
+        s"band join input carries text: ${side.output.map(_.name)}")
+
+    // the candidate-pair distinct groups ONLY (id_a, id_b) — no payloads
+    val pairDistinct = optimized.collect {
+      case a: Aggregate if a.groupingExpressions.size == a.aggregateExpressions.size &&
+        a.output.map(_.name).toSet == Set("id_a", "id_b") => a
+    }
+    assert(pairDistinct.nonEmpty,
+      s"expected an (id_a,id_b)-only distinct in:\n$optimized")
+  }
+
   test("hot expression pipeline stays inside whole-stage codegen") {
     val plan = DocPipeline.docAnchors(DocStore.readDf(spark, docsPath))
       .queryExecution.executedPlan.toString
