@@ -71,6 +71,16 @@ object Bench {
     val sf = SparkEntry.sfOf(sfDir)
     // materialise synth inputs up front so query timings measure compute
     DocStore.ensure(spark, sf)
+    // page-cache + JIT warmup: touch every input table and run one small
+    // shuffle so the alphabetically-first query doesn't absorb session
+    // warmup costs that belong to no query
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
+    spark.range(1000).groupBy(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("id"), org.apache.spark.sql.functions.lit(7L))).count().count()
 
     // a failed query must never masquerade as a fast timing: errors are
     // collected and reported in an "errors" field of the bench JSON

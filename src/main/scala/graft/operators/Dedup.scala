@@ -62,9 +62,17 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // verification re-join, corpus-scale shape: first semi-join the corpus
+    // down to only docs that appear in ANY candidate pair (candidate ids are
+    // tiny next to the corpus -> AQE broadcasts the semi side; full texts are
+    // never shuffled), then the two per-side joins run against that small set
+    val candidateIds = candidates.select(col("id_a").as("id"))
+      .unionByName(candidates.select(col("id_b").as("id")))
+      .distinct()
+    val needed = docs.join(candidateIds, Seq("id"), "left_semi")
     candidates
-      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
+      .join(needed.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
+      .join(needed.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
       .withColumn("jaccard", gf.ngram_jaccard(col("text_a"), col("text_b"), shingleN))
       .where(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -137,9 +145,15 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // same corpus-scale verification shape as minhashLshPairs: semi-join the
+    // vectors down to candidate participants before the per-side joins
+    val candidateIds = candidates.select(col("id_a").as("id"))
+      .unionByName(candidates.select(col("id_b").as("id")))
+      .distinct()
+    val needed = vecs.join(candidateIds, Seq("id"), "left_semi")
     candidates
-      .join(vecs.select(col("id").as("id_a"), col("q").as("q_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("q").as("q_b")), "id_b")
+      .join(needed.select(col("id").as("id_a"), col("q").as("q_a")), "id_a")
+      .join(needed.select(col("id").as("id_b"), col("q").as("q_b")), "id_b")
       .withColumn("cos", gf.vec_cos_q(col("q_a"), col("q_b")))
       .where(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))

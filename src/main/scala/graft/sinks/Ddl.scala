@@ -88,15 +88,38 @@ object Ddl {
     case _ => s"`$ident`"
   }
 
-  /** CREATE TABLE text for one table. */
+  /** The key grammar of resources/index.xml ({mysql,postgres,clickhouse}
+    * .index.xsl:22-31): primary-key, foreign-key, key. The shipped index.xml
+    * uses only primary-key, but the grammar is part of the surface. */
+  sealed trait Key
+  case class PrimaryKey(field: String) extends Key
+  case class ForeignKey(field: String, forTable: String, forField: String) extends Key
+  case class IndexKey(field: String) extends Key
+
+  /** Render the key clauses exactly as the index XSLTs do (comma + newline +
+    * two-space separators). */
+  def indexClause(d: Dialect, keys: Seq[Key]): String =
+    keys.map {
+      case PrimaryKey(f) => s"PRIMARY KEY (${q(d, f)})"
+      case ForeignKey(f, t, ff) =>
+        s"FOREIGN KEY (${q(d, f)}) REFERENCES ${q(d, t)} (${q(d, ff)})"
+      case IndexKey(f) => s"INDEX ${q(d, f)} (${q(d, f)})"
+    }.mkString(",\n  ")
+
+  /** CREATE TABLE text for one table (single-primary-key convenience). */
   def createTable(table: String, schema: StructType, d: Dialect,
-      opts: Options = Options(), primaryKey: Option[String] = None): String = {
+      opts: Options = Options(), primaryKey: Option[String] = None): String =
+    createTableKeys(table, schema, d, opts, primaryKey.map(PrimaryKey).toSeq)
+
+  /** CREATE TABLE with the full key grammar. */
+  def createTableKeys(table: String, schema: StructType, d: Dialect,
+      opts: Options, keys: Seq[Key]): String = {
     val sb = new StringBuilder
     if (opts.includeDrop)
       sb.append(s"DROP TABLE IF EXISTS ${q(d, table)};\n")
     sb.append(s"CREATE TABLE ${q(d, table)} (\n")
 
-    val pk = if (opts.includeKeys) primaryKey else None
+    val activeKeys = if (opts.includeKeys) keys else Nil
     val cols = schema.fields.map { f =>
       val nullability = if (f.nullable) " NULL DEFAULT NULL" else " NOT NULL"
       val comment = d match {
@@ -106,7 +129,7 @@ object Ddl {
       s"  ${q(d, f.name)} ${columnType(d, f)}$nullability$comment"
     }
     sb.append(cols.mkString(",\n"))
-    pk.foreach(k => sb.append(s",\n  PRIMARY KEY (${q(d, k)})"))
+    if (activeKeys.nonEmpty) sb.append(",\n  " + indexClause(d, activeKeys))
     sb.append("\n)")
 
     d match {

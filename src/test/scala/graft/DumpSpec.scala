@@ -110,6 +110,24 @@ class DumpSpec extends AnyFunSuite {
     assert(got.contains(") ENGINE = MergeTree ; \n"))
   }
 
+  test("ddl key grammar: primary-key / foreign-key / key render per index.xsl in 3 dialects") {
+    val keys = Seq(Ddl.PrimaryKey("ID"),
+      Ddl.ForeignKey("TYPEID", "PARAM_TYPES", "ID"), Ddl.IndexKey("OBJECTID"))
+    val my = Ddl.createTableKeys("PARAM", SchemaRegistry.schemaOf("ADDR_OBJ_PARAMS"),
+      Ddl.MySql, Ddl.Options(), keys)
+    assert(my.contains("  PRIMARY KEY (`ID`),\n  FOREIGN KEY (`TYPEID`) REFERENCES `PARAM_TYPES` (`ID`),\n  INDEX `OBJECTID` (`OBJECTID`)\n)"))
+    val pg = Ddl.createTableKeys("PARAM", SchemaRegistry.schemaOf("ADDR_OBJ_PARAMS"),
+      Ddl.Postgres, Ddl.Options(), keys)
+    assert(pg.contains("""FOREIGN KEY ("TYPEID") REFERENCES "PARAM_TYPES" ("ID")"""))
+    val ch = Ddl.createTableKeys("PARAM", SchemaRegistry.schemaOf("ADDR_OBJ_PARAMS"),
+      Ddl.ClickHouse, Ddl.Options(), keys)
+    assert(ch.contains("INDEX `OBJECTID` (`OBJECTID`)"))
+    // --no-keys analog: includeKeys=false drops all clauses
+    val none = Ddl.createTableKeys("PARAM", SchemaRegistry.schemaOf("ADDR_OBJ_PARAMS"),
+      Ddl.MySql, Ddl.Options(includeKeys = false), keys)
+    assert(!none.contains("PRIMARY KEY") && !none.contains("FOREIGN KEY"))
+  }
+
   test("ddl: all 28 logical tables generate with a primary key in 3 dialects") {
     for (d <- Seq(Ddl.MySql, Ddl.Postgres, Ddl.ClickHouse)) {
       val all = Ddl.createAll(d)

@@ -9,11 +9,12 @@ cd "$(dirname "$0")/.."
 SF=${1:-1.0}
 N=${2:-8}
 CYCLES=${3:-3}
+REPS=${4:-3}   # timed reps per JVM; min-of-reps removes first-rep JIT skew
 OUT=/tmp/scaling_sf${SF}
 for c in $(seq 1 "$CYCLES"); do
-  SPARK_PROC_COUNT=$N sbt -batch "runMain graft.ScalingBench once $SF $N 1" \
+  SPARK_PROC_COUNT=$N sbt -batch "runMain graft.ScalingBench once $SF $N $REPS" \
     2>&1 | grep '"mode":"once"' | sed 's/^\[info\] //' >> "${OUT}_n.jsonl"
-  SPARK_PROC_COUNT=$((4 * N)) sbt -batch "runMain graft.ScalingBench once $SF $((4 * N)) 1" \
+  SPARK_PROC_COUNT=$((4 * N)) sbt -batch "runMain graft.ScalingBench once $SF $((4 * N)) $REPS" \
     2>&1 | grep '"mode":"once"' | sed 's/^\[info\] //' >> "${OUT}_4n.jsonl"
 done
 python3 - "$OUT" <<'EOF'
