@@ -22,11 +22,16 @@ object Bench {
     import org.apache.spark.sql.functions._
     import graft.expr.gf
     val p = DocStore.ensure(spark, sf)
-    val docs = DocStore.readDf(spark, p)
+    // per-branch nested pruning (readDfPruned): the anchor/PIP branch never
+    // touches media_ref; the tile branch never touches text (the fat column).
+    // Catalyst can't push this through posexplode/array lambdas, so the read
+    // schema declares it — the scans decode strictly the bytes each branch uses.
+    val docsForAnchors = DocStore.readDfPruned(spark, p, Seq("kind", "text", "offset"))
+    val docsForTiles = DocStore.readDfPruned(spark, p, Seq("kind", "media_ref", "offset"))
     val regions = DataGen.regionPolys(spark).toDF()
     val munis = DataGen.municipalityPolys(spark).toDF()
 
-    val anchors = DocPipeline.docAnchors(docs)
+    val anchors = DocPipeline.docAnchors(docsForAnchors)
       .withColumn("cell8", gf.grid_cell(col("lat"), col("lon"), 8))
       .withColumn("cell9", gf.grid_cell(col("lat"), col("lon"), 9))
       .withColumn("cell10", gf.grid_cell(col("lat"), col("lon"), 10))
@@ -46,13 +51,39 @@ object Bench {
         munis.select(col("poly_id"), col("rings"), col("cell_cover")))
       .groupBy(col("poly_id")).agg(count(lit(1)).as("n"))
       .select(lit("muni").as("kind"), col("n"))
-    val tileCounts = DocPipeline.mediaSpans(docs)
+    val tileCounts = DocPipeline.mediaSpans(docsForTiles)
       .groupBy("tile_z", "tile").count()
       .select(lit("tile").as("kind"), col("count").as("n"))
     val rows = regionCounts.unionByName(muniCounts).unionByName(tileCounts).collect()
     val nAssigned = rows.filter(_.getString(0) == "region").map(_.getLong(1)).sum
     val nOther = rows.count(_.getString(0) != "region").toLong
     (nAssigned, nOther)
+  }
+
+  /** The north-rule metric pipeline, exactly as BASELINE.json words it:
+    * "H3-indexed PIP spatial join + tile assignment" — anchor extraction ->
+    * geocode -> cell encode -> broadcast two-phase PIP join vs region
+    * polygons -> counts, plus media tile histogram; one action. (The full
+    * headlinePipeline above additionally joins municipality polygons and
+    * encodes 5 cell resolutions — a heavier superset.) */
+  def northRulePipeline(spark: SparkSession, sf: Double): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val p = DocStore.ensure(spark, sf)
+    val regions = DataGen.regionPolys(spark).toDF()
+    val anchors = DocPipeline.docAnchors(
+      DocStore.readDfPruned(spark, p, Seq("kind", "text", "offset")))
+    val regionCounts = graft.operators.SpatialJoin.pipJoin(
+        anchors.select(col("doc_id"), col("lat"), col("lon")),
+        regions.select(col("poly_id"), col("rings"), col("cell_cover")))
+      .groupBy(col("poly_id")).agg(count(lit(1)).as("n"))
+      .select(lit("region").as("kind"), col("n"))
+    val tileCounts = DocPipeline.mediaSpans(
+        DocStore.readDfPruned(spark, p, Seq("kind", "media_ref", "offset")))
+      .groupBy("tile_z", "tile").count()
+      .select(lit("tile").as("kind"), col("count").as("n"))
+    val rows = regionCounts.unionByName(tileCounts).collect()
+    val nAssigned = rows.filter(_.getString(0) == "region").map(_.getLong(1)).sum
+    (nAssigned, rows.length.toLong)
   }
 
   def main(args: Array[String]): Unit = {

@@ -321,8 +321,13 @@ object SparkEntry {
       val corpus = emb.select(col("vec_id").as("tid"), col("embedding").as("vec"))
       val brute = graft.operators.Similarity.bruteTopK(queries, corpus, k = 3)
       val ann = graft.operators.Similarity.annTopK(queries, corpus, k = 3)
+      val ivf = graft.operators.Similarity.ivfTopK(queries, corpus, k = 3,
+        kCentroids = 16, nProbe = 4)
       val r = graft.operators.Similarity.recall(ann, brute)
-      Seq((math.floor(r * 100).toLong, brute.count(), ann.count())).toDF("recall_pct", "n_exact", "n_ann")
+      val rIvf = graft.operators.Similarity.recall(ivf, brute)
+      Seq((math.floor(r * 100).toLong, math.floor(rIvf * 100).toLong,
+        brute.count(), ann.count()))
+        .toDF("recall_pct", "ivf_recall_pct", "n_exact", "n_ann")
     }),
 
     "q_text_profile" -> ((s, dir) =>

@@ -17,12 +17,21 @@ import org.apache.spark.sql.functions._
  */
 object DocPipeline {
 
-  /** Explode docs to one row per span, order key preserved. */
-  def explodeSpans(docs: DataFrame): DataFrame =
+  /** Explode docs to one row per span, order key preserved. Tolerates
+    * span structs pruned via DocStore.readDfPruned: missing subfields come
+    * back as typed NULLs, so downstream schemas stay stable. */
+  def explodeSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spanType = docs.schema("spans").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    def f(name: String, t: DataType) =
+      if (spanType.fieldNames.contains(name)) col(s"span.$name").as(name)
+      else lit(null).cast(t).as(name)
     docs.select(col("doc_id"), col("region"), posexplode(col("spans")).as(Seq("pos", "span")))
       .select(col("doc_id"), col("region"), col("pos"),
-        col("span.kind").as("kind"), col("span.text").as("text"),
-        col("span.media_ref").as("media_ref"), col("span.offset").as("offset"))
+        f("kind", StringType), f("text", StringType),
+        f("media_ref", StringType), f("offset", IntegerType))
+  }
 
   /** Text spans geocoded via the deterministic hash-geocoder, with the
     * multi-resolution cell ids the north rule asks for (H3-analog res 7-11 +

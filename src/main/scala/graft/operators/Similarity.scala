@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.expr.gf
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -51,6 +51,81 @@ object Similarity {
     q.join(c, Seq("band"))
       .select(col("qid"), col("tid"), col("q_q"), col("q_t"))
       .distinct()
+      .withColumn("cos", gf.vec_cos_q(col("q_q"), col("q_t")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("tid"), col("cos"), col("rn"))
+  }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Cosine between a vector column and a centroid literal — pure array
+    * expressions (zip_with + aggregate), fully codegen'd, no UDF. */
+  private def cosToCentroid(vec: Column, cent: Array[Float]): Column = {
+    val centArr = array(cent.toSeq.map(lit): _*)
+    val dot = aggregate(zip_with(vec, centArr, (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val nv = aggregate(transform(vec, x => x * x), lit(0.0), (acc, x) => acc + x)
+    val nc = lit(cent.map(x => x.toDouble * x.toDouble).sum)
+    when(nv === 0.0 || lit(nc) === 0.0, lit(0.0)).otherwise(dot / sqrt(nv * nc))
+  }
+
+  /** Scores against every centroid, as one array column. */
+  private def centroidScores(vec: Column, cents: Array[Array[Float]]): Column =
+    array(cents.toSeq.map(c => cosToCentroid(vec, c)): _*)
+
+  /** Deterministic coarse quantizer: a hash-spread sample of corpus vectors.
+    * (A k-means refinement can replace this without changing the plan shape —
+    * assignment stays a per-row expression either way.) */
+  def sampleCentroids(corpus: DataFrame, kCentroids: Int): Array[Array[Float]] = {
+    // hash-ordered take: a deterministic uniform sample with ONE action and
+    // no full count — the sort is a top-K (TakeOrderedAndProject), not a
+    // global sort
+    corpus.select(col("vec"), xxhash64(col("tid")).as("h"))
+      .orderBy(col("h"))
+      .limit(kCentroids)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+  }
+
+  /**
+   * IVF approximate top-k — the partition-pruned scale path next to the
+   * LSH-banded one:
+   *
+   *  - centroid assignment is a PER-ROW expression (centroid literals baked
+   *    into the plan): zero shuffle to index the corpus, one `cid` column;
+   *  - each corpus vector lives in exactly ONE inverted list, so the
+   *    (query-probe x list) equi-join yields each candidate pair at most
+   *    once — no distinct needed;
+   *  - queries probe their `nProbe` nearest centroids (explode), candidates
+   *    ~ nProbe * N / kCentroids per query instead of N;
+   *  - exact quantised-cosine re-rank on candidates only.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      kCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = sampleCentroids(corpus, kCentroids)
+    require(cents.nonEmpty, "empty corpus")
+    val kc = cents.length
+
+    def best(vec: Column): Column =
+      (array_position(centroidScores(vec, cents), array_max(centroidScores(vec, cents))) - 1)
+        .cast("int")
+
+    // top-nProbe centroid ids: sort (score desc, id asc) via struct ordering
+    def probes(vec: Column): Column = {
+      val scored = zip_with(centroidScores(vec, cents),
+        sequence(lit(0), lit(kc - 1)),
+        (s, i) => struct((-s).as("ns"), i.as("i")))
+      transform(slice(array_sort(scored), 1, math.min(nProbe, kc)), x => x("i"))
+    }
+
+    val c = corpus.select(col("tid"), gf.vec_quantize(col("vec")).as("q_t"),
+      best(col("vec")).as("cid"))
+    val q = queries.select(col("qid"), gf.vec_quantize(col("vec")).as("q_q"),
+      explode(probes(col("vec"))).as("cid"))
+
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("tid"))
+    q.join(c, Seq("cid"))
       .withColumn("cos", gf.vec_cos_q(col("q_q"), col("q_t")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)

@@ -80,4 +80,28 @@ object DocStore {
     val df = spark.read.schema(docSchema).parquet(p)
     if (regions.isEmpty) df else df.where(df("region").isin(regions: _*))
   }
+
+  /**
+   * Read with the span struct pruned to `spanFields` — an EXPLICIT nested
+   * projection pushed to the parquet reader via the read schema. Catalyst's
+   * nested-schema pruning does not reach through posexplode/higher-order
+   * lambdas (measured: both headline branches read all four span subfields),
+   * so branches that never touch `text` (the fat column) declare it away:
+   * the scan decodes only the requested subfields.
+   */
+  def readDfPruned(spark: SparkSession, p: String, spanFields: Seq[String],
+      regions: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spanStruct = docSchema("spans").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    val pruned = StructType(docSchema.fields.map {
+      case f if f.name == "spans" =>
+        f.copy(dataType = ArrayType(
+          StructType(spanStruct.fields.filter(sf => spanFields.contains(sf.name))),
+          containsNull = false))
+      case f => f
+    })
+    val df = spark.read.schema(pruned).parquet(p)
+    if (regions.isEmpty) df else df.where(df("region").isin(regions: _*))
+  }
 }

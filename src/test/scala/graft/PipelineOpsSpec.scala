@@ -123,6 +123,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r >= 0.7, s"ANN recall $r below 0.7")
   }
 
+  test("IVF topk: near-perfect recall on clustered vectors, exact re-rank ordering") {
+    import graft.geo.Rng
+    // planted clusters: 6 centers in 8-dim, 40 members each with small noise;
+    // IVF's inverted lists align with real cluster structure, so probing a
+    // few lists recovers almost all true neighbours
+    val dims = 8
+    def unit(seed: Long): Array[Float] = {
+      val v = Array.tabulate(dims)(i =>
+        ((Rng.splitmix64(seed + i) >>> 11).toFloat / (1L << 53).toFloat) - 0.5f)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Array.tabulate(6)(c => unit(9000L + c))
+    val rows = for (c <- 0 until 6; m <- 0 until 40) yield {
+      val noise = unit(7000L + c * 100 + m).map(_ * 0.15f)
+      val v = centers(c).zip(noise).map { case (a, b) => a + b }
+      (c * 40L + m, v)
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "emb")
+    val queries = df.where($"id" % 20 === 0).select($"id".as("qid"), $"emb".as("vec"))
+    val corpus = df.select($"id".as("tid"), $"emb".as("vec"))
+    val brute = Similarity.bruteTopK(queries, corpus, k = 5)
+    val ivf = Similarity.ivfTopK(queries, corpus, k = 5, kCentroids = 12, nProbe = 4)
+    val r = Similarity.recall(ivf, brute)
+    assert(r >= 0.9, s"IVF recall $r below 0.9 on clustered vectors")
+    // candidates are a strict subset: every IVF pair must carry the exact
+    // quantised cosine the brute path assigns it
+    val bruteScores = brute.select($"qid", $"tid", $"cos".as("bcos"))
+    val joined = ivf.join(bruteScores, Seq("qid", "tid"))
+      .where(abs($"cos" - $"bcos") > 1e-12).count()
+    assert(joined == 0)
+  }
+
   test("text profile columns match the scala core") {
     val prof = TextAnalysis.profile(corpus).collect()
     for (r <- prof) {

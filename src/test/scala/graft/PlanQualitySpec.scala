@@ -52,6 +52,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<doc_id:string,spans:"), plan)
   }
 
+  test("per-branch NESTED pruning reaches the scan (readDfPruned)") {
+    // Catalyst can't prune span subfields through posexplode/array lambdas;
+    // readDfPruned declares the projection in the read schema instead. The
+    // tile branch must not decode `text` (the fat column), the anchor branch
+    // must not decode `media_ref`.
+    val anchors = DocPipeline.docAnchors(
+      DocStore.readDfPruned(spark, docsPath, Seq("kind", "text", "offset")))
+      .select("doc_id", "lat", "lon")
+    val aPlan = anchors.queryExecution.executedPlan.toString
+    assert(aPlan.contains("ReadSchema: struct<doc_id:string,spans:array<struct<kind:string,text:string,offset:int>>>"), aPlan)
+    val tiles = DocPipeline.mediaSpans(
+      DocStore.readDfPruned(spark, docsPath, Seq("kind", "media_ref", "offset")))
+      .groupBy("tile_z", "tile").count()
+    val tPlan = tiles.queryExecution.executedPlan.toString
+    assert(tPlan.contains("ReadSchema: struct<spans:array<struct<kind:string,media_ref:string,offset:int>>>"), tPlan)
+    // pruned and full reads agree
+    val full = DocPipeline.mediaSpans(DocStore.readDf(spark, docsPath))
+      .groupBy("tile_z", "tile").count()
+    assert(tiles.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq) ==
+      full.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toSeq))
+  }
+
   test("aggregation plans use partial (map-side) aggregation") {
     val plan = DocStore.readDf(spark, docsPath)
       .groupBy("region").count()
