@@ -305,6 +305,24 @@ case class SigBands(first: Expression, second: Expression, third: Expression)
     copy(f, s, t)
 }
 
+/** IVF coarse-quantizer probes: top-nProbe centroid indices for a vector.
+  * The centroid matrix rides as ONE reference object (ctx.addReferenceObj in
+  * codegen, a plain field in eval) instead of K*dim literal nodes — plan size
+  * and Janino compile time stay constant in K. */
+case class IvfProbes(child: Expression, centroids: Array[Array[Float]], nProbe: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    G.ivfProbes(v.asInstanceOf[ArrayData], centroids, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCentroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.G.ivfProbes($c, $ref, $nProbe)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "ivf_probes"
+}
+
 /** Exact character-n-gram Jaccard similarity of two strings. */
 case class NgramJaccard(first: Expression, second: Expression, third: Expression)
     extends TernaryG("ngramJaccard", DoubleType, StringType, StringType, IntegerType) {

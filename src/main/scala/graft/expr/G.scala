@@ -161,4 +161,18 @@ object G {
 
   def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double =
     TextAlgos.jaccard(TextAlgos.shingles(a.toString, n), TextAlgos.shingles(b.toString, n))
+
+  /** IVF probe list: indices of the nProbe nearest centroids by float cosine
+    * (score desc, index asc). The centroid matrix is passed BY REFERENCE —
+    * one object per plan, not K*dim literal nodes (literal-tree centroids
+    * made Janino compilation dominate the whole job at K >= 16). */
+  def ivfProbes(v: ArrayData, centroids: Array[Array[Float]], nProbe: Int): ArrayData = {
+    val vec = floats(v)
+    val k = centroids.length
+    val scores = new Array[Double](k)
+    var i = 0
+    while (i < k) { scores(i) = VecAlgos.cosine(vec, centroids(i)); i += 1 }
+    val order = Array.tabulate(k)(identity).sortBy(j => (-scores(j), j))
+    new GenericArrayData(order.take(math.min(nProbe, k)))
+  }
 }

@@ -119,6 +119,9 @@ object gf {
   def ngram_jaccard(a: Column, b: Column, n: Int): Column =
     column(NgramJaccard(s(a), s(b), i(n)))
 
+  def ivf_probes(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
+    column(IvfProbes(Cast(expression(v), FloatsT), centroids, nProbe))
+
   /** SQL names for every custom expression (idempotent, per-session). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -59,21 +59,6 @@ object Similarity {
 
   // ------------------------------------------------------------------ IVF
 
-  /** Cosine between a vector column and a centroid literal — pure array
-    * expressions (zip_with + aggregate), fully codegen'd, no UDF. */
-  private def cosToCentroid(vec: Column, cent: Array[Float]): Column = {
-    val centArr = array(cent.toSeq.map(lit): _*)
-    val dot = aggregate(zip_with(vec, centArr, (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    val nv = aggregate(transform(vec, x => x * x), lit(0.0), (acc, x) => acc + x)
-    val nc = lit(cent.map(x => x.toDouble * x.toDouble).sum)
-    when(nv === 0.0 || lit(nc) === 0.0, lit(0.0)).otherwise(dot / sqrt(nv * nc))
-  }
-
-  /** Scores against every centroid, as one array column. */
-  private def centroidScores(vec: Column, cents: Array[Array[Float]]): Column =
-    array(cents.toSeq.map(c => cosToCentroid(vec, c)): _*)
-
   /** Deterministic coarse quantizer: a hash-spread sample of corpus vectors.
     * (A k-means refinement can replace this without changing the plan shape —
     * assignment stays a per-row expression either way.) */
@@ -105,24 +90,13 @@ object Similarity {
       kCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val cents = sampleCentroids(corpus, kCentroids)
     require(cents.nonEmpty, "empty corpus")
-    val kc = cents.length
 
-    def best(vec: Column): Column =
-      (array_position(centroidScores(vec, cents), array_max(centroidScores(vec, cents))) - 1)
-        .cast("int")
-
-    // top-nProbe centroid ids: sort (score desc, id asc) via struct ordering
-    def probes(vec: Column): Column = {
-      val scored = zip_with(centroidScores(vec, cents),
-        sequence(lit(0), lit(kc - 1)),
-        (s, i) => struct((-s).as("ns"), i.as("i")))
-      transform(slice(array_sort(scored), 1, math.min(nProbe, kc)), x => x("i"))
-    }
-
+    // assignment via the IvfProbes expression: centroid matrix is one
+    // reference object in the plan (constant plan size / compile time in K)
     val c = corpus.select(col("tid"), gf.vec_quantize(col("vec")).as("q_t"),
-      best(col("vec")).as("cid"))
+      element_at(gf.ivf_probes(col("vec"), cents, 1), 1).as("cid"))
     val q = queries.select(col("qid"), gf.vec_quantize(col("vec")).as("q_q"),
-      explode(probes(col("vec"))).as("cid"))
+      explode(gf.ivf_probes(col("vec"), cents, nProbe)).as("cid"))
 
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("tid"))
     q.join(c, Seq("cid"))

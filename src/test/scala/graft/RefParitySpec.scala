@@ -170,6 +170,37 @@ class RefParitySpec extends AnyFunSuite {
     assertTreeEqual("mysql_direct", out)
   }
 
+  test("Gar facade (the reference CLI surface, 1:1) reproduces reference bytes") {
+    // `ru_address dump --target mysql -m region_tree <src> <out>` equivalent:
+    // defaults discover regions and tables from the tree like the CLI does
+    val out = tmp("gar_facade")
+    Gar.dump(spark, fix, out, target = "mysql", mode = "region_tree",
+      tables = GarFixture.tables)
+    assertTreeEqual("mysql_region_tree", out)
+    // and the executor-parallel variant produces the same bytes
+    val outP = tmp("gar_facade_par")
+    Gar.dump(spark, fix, outP, target = "mysql", mode = "region_tree",
+      tables = GarFixture.tables, parallel = true)
+    assertTreeEqual("mysql_region_tree", outP)
+    // mode demotion: non-directory output path -> direct (command.py:88-89)
+    val outD = tmp("gar_facade_direct")
+    Gar.dump(spark, fix, s"$outD/out.sql", target = "mysql",
+      tables = GarFixture.tables)
+    assertTreeEqual("mysql_direct", outD)
+    // csv outside region_tree is rejected (command.py:91-95)
+    intercept[IllegalArgumentException] {
+      Gar.dump(spark, fix, tmp("gar_csv"), target = "csv", mode = "direct",
+        tables = GarFixture.tables)
+    }
+    // `ru_address schema` equivalent, XSD-driven
+    val schemaOut = tmp("gar_schema")
+    val files = Gar.schema(spark, fix, schemaOut, target = "mysql",
+      tables = Seq("HOUSE_TYPES"))
+    assert(files.size == 1)
+    val ddl = new String(Files.readAllBytes(Paths.get(schemaOut, "HOUSE_TYPES.sql")), "UTF-8")
+    assert(ddl.contains("CREATE TABLE `HOUSE_TYPES`") && ddl.startsWith("-- ---"))
+  }
+
   test("parallel writer: regions sharing one shuffle partition get separate, correct files") {
     // force hash collisions: 2 shuffle partitions, 2 regions + common rows
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
