@@ -73,6 +73,31 @@ object Similarity {
       .map(_.getSeq[Float](0).toArray)
   }
 
+  /** One-or-more Lloyd (k-means) refinement iterations over the coarse
+    * quantizer, fully distributed: assign every corpus vector to its nearest
+    * centroid (IvfProbes expression, no shuffle), then recompute centroids
+    * as per-dimension means (one partial+final aggregation per iteration).
+    * Empty clusters keep their previous centroid. Driver holds only the
+    * K x dim matrix. */
+  def refineCentroids(corpus: DataFrame, cents: Array[Array[Float]],
+      iterations: Int = 1): Array[Array[Float]] = {
+    var current = cents
+    for (_ <- 1 to iterations) {
+      val means = corpus
+        .select(element_at(gf.ivf_probes(col("vec"), current, 1), 1).as("cid"),
+          posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s("m")).as("mean"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toArray)
+        .toMap
+      current = current.indices.map(i => means.getOrElse(i, current(i))).toArray
+    }
+    current
+  }
+
   /**
    * IVF approximate top-k — the partition-pruned scale path next to the
    * LSH-banded one:
@@ -87,9 +112,11 @@ object Similarity {
    *  - exact quantised-cosine re-rank on candidates only.
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      kCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = sampleCentroids(corpus, kCentroids)
-    require(cents.nonEmpty, "empty corpus")
+      kCentroids: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
+    val sampled = sampleCentroids(corpus, kCentroids)
+    require(sampled.nonEmpty, "empty corpus")
+    val cents =
+      if (kmeansIters > 0) refineCentroids(corpus, sampled, kmeansIters) else sampled
 
     // assignment via the IvfProbes expression: centroid matrix is one
     // reference object in the plan (constant plan size / compile time in K)

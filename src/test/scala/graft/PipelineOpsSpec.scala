@@ -148,6 +148,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val ivf = Similarity.ivfTopK(queries, corpus, k = 5, kCentroids = 12, nProbe = 4)
     val r = Similarity.recall(ivf, brute)
     assert(r >= 0.9, s"IVF recall $r below 0.9 on clustered vectors")
+    // a Lloyd refinement iteration must not hurt recall (lists align better
+    // with the true clusters, so typically it helps)
+    val ivfKm = Similarity.ivfTopK(queries, corpus, k = 5, kCentroids = 12,
+      nProbe = 4, kmeansIters = 2)
+    val rKm = Similarity.recall(ivfKm, brute)
+    assert(rKm >= r - 0.05, s"k-means-refined recall $rKm fell below sampled $r")
     // candidates are a strict subset: every IVF pair must carry the exact
     // quantised cosine the brute path assigns it
     val bruteScores = brute.select($"qid", $"tid", $"cos".as("bcos"))
