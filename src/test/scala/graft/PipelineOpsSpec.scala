@@ -123,6 +123,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r >= 0.7, s"ANN recall $r below 0.7")
   }
 
+  test("minhash band cap: degenerate buckets can be bounded; default is exact LSH") {
+    // 20 identical docs -> every band is one degenerate bucket of 20
+    val docs = spark.createDataFrame(
+      (0 until 20).map(i => (i.toLong, "the same boilerplate text again"))
+        :+ ((99L, "something else entirely different here"))).toDF("doc_id", "text")
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text", tau = 0.9)
+    assert(full.count() == 20L * 19 / 2) // quadratic, as LSH semantics demand
+    // capping bands at 8 drops the degenerate bucket's candidates entirely
+    val capped = Dedup.minhashLshPairs(docs, "doc_id", "text", tau = 0.9, maxBandSize = 8)
+    assert(capped.count() == 0)
+  }
+
   test("IVF topk: near-perfect recall on clustered vectors, exact re-rank ordering") {
     import graft.geo.Rng
     // planted clusters: 6 centers in 8-dim, 40 members each with small noise;

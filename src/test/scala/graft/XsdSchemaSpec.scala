@@ -87,6 +87,42 @@ class XsdSchemaSpec extends AnyFunSuite {
       // (the VARCHAR(128) fallback is a DDL-time rule, mysql.schema.xsl:61)
   }
 
+  test("a GAR schema update flows through WITHOUT a code change (reference behavior)") {
+    // simulate the tax service shipping a new XSD revision: HOUSE_TYPES grows
+    // a NEWFIELD attribute. The engine must pick it up at read time — schema,
+    // projection AND dump — exactly like the reference re-parses XSDs per run
+    // (dump.py:60-61). No registry edit, no code change.
+    val spark = TestSpark.spark
+    val root = Files.createTempDirectory("xsd_update").toString
+    val xsd = XsdSchema.render("HOUSE_TYPES").replace(
+      "<xs:attribute name=\"ID\"",
+      """<xs:attribute name="NEWFIELD" type="xs:string">
+        |            </xs:attribute>
+        |            <xs:attribute name="ID"""".stripMargin)
+    Files.write(java.nio.file.Paths.get(root, "AS_HOUSE_TYPES_2_fixture.xsd"),
+      xsd.getBytes("UTF-8"))
+    val defn = XsdSchema.parseString(xsd)
+    assert(defn.fieldNames.head == "NEWFIELD")
+
+    // data carrying the new attribute round-trips through the split scanner
+    val xml =
+      """<?xml version="1.0" encoding="utf-8"?>
+        |<HOUSETYPES>
+        |  <HOUSETYPE NEWFIELD="nv" ID="1" NAME="n" UPDATEDATE="2021-01-01" STARTDATE="2021-01-01" ENDDATE="2079-06-06" ISACTIVE="true" />
+        |</HOUSETYPES>
+        |""".stripMargin
+    Files.write(java.nio.file.Paths.get(root, "AS_HOUSE_TYPES_2_fixture.xml"),
+      xml.getBytes("UTF-8"))
+    val df = graft.sources.GarXml.read(spark, root, "HOUSE_TYPES")
+    assert(df.schema.fieldNames.head == "NEWFIELD")
+    val row = df.orderBy("ord").collect()(0)
+    assert(row.getString(0) == "nv")
+    // and the dump emits the new column in XSD order, reference semantics
+    val slice = df.drop("region", "ord")
+    val out = graft.sinks.Dump.formatSlice(slice, "HOUSE_TYPES", graft.sinks.Dump.csv)
+    assert(out.startsWith("\"nv\",\"1\",\"n\""))
+  }
+
   test("GarXml.read derives schema + entity tag from the XSD (not the registry)") {
     val spark = TestSpark.spark
     val root = Files.createTempDirectory("xsd_read").toString
