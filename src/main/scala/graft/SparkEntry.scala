@@ -322,7 +322,7 @@ object SparkEntry {
       val brute = graft.operators.Similarity.bruteTopK(queries, corpus, k = 3)
       val ann = graft.operators.Similarity.annTopK(queries, corpus, k = 3)
       val ivf = graft.operators.Similarity.ivfTopK(queries, corpus, k = 3,
-        kCentroids = 16, nProbe = 4)
+        kCentroids = 16, nProbe = 8, kmeansIters = 2)
       val r = graft.operators.Similarity.recall(ann, brute)
       val rIvf = graft.operators.Similarity.recall(ivf, brute)
       Seq((math.floor(r * 100).toLong, math.floor(rIvf * 100).toLong,
