@@ -85,6 +85,37 @@ class GarXmlSpec extends AnyFunSuite {
     assert(sql.contains("\"ИФНС \\\"ФЛ\\\"\\\\\""))
   }
 
+  test("split scanner handles XML the renderer never emits: quote styles, spacing, newlines") {
+    // hand-authored XML: single-quoted attributes, double quotes inside
+    // single quotes, whitespace/newlines around '=', entities, an element
+    // with children-style close — the scanner must agree with StAX on all
+    val schema = SchemaRegistry.schemaOf("HOUSE_TYPES")
+    val xml =
+      "<?xml version=\"1.0\" encoding=\"utf-8\"?>\n" +
+        "<HOUSETYPES>\n" +
+        "  <HOUSETYPE ID = '1' NAME='say \"hi\"' SHORTNAME = \"a&apos;b\"\n" +
+        "       UPDATEDATE='2021-01-01' STARTDATE='2021-01-01' ENDDATE='2079-06-06' ISACTIVE='true' />\n" +
+        "  <HOUSETYPE ID=\"2\" NAME=\"&#1057;&#1077;&#1083;&#1086; &amp; co\" UPDATEDATE=\"2021-01-02\"\n" +
+        "       STARTDATE=\"2021-01-02\" ENDDATE=\"2079-06-06\" ISACTIVE=\"false\"></HOUSETYPE>\n" +
+        "</HOUSETYPES>\n"
+    val bytes = xml.getBytes(StandardCharsets.UTF_8)
+    val viaStax = GarXml.parseStream(
+      new java.io.ByteArrayInputStream(bytes), schema, "HOUSETYPE").toSeq
+    // write to a file and read through the chunked scanner at tiny chunks
+    val root = Files.createTempDirectory("gar_nasty").toString
+    Files.write(Paths.get(root, "AS_HOUSE_TYPES_2_nasty.xml"), bytes)
+    val spark2 = spark
+    for (chunk <- Seq(31L, 64L, 1 << 20)) {
+      val viaScan = GarXml.read(spark2, root, "HOUSE_TYPES", chunkBytes = chunk)
+        .orderBy("ord").drop("region", "ord").collect().toSeq
+      assert(viaScan == viaStax, s"chunkBytes=$chunk diverged from StAX")
+    }
+    assert(viaStax.size == 2)
+    assert(viaStax.head.getString(1) == "say \"hi\"")
+    assert(viaStax.head.getString(2) == "a'b")
+    assert(viaStax(1).getString(1) == "Село & co")
+  }
+
   test("discovery errors: zero or multiple matches") {
     val root = Files.createTempDirectory("gar_glob").toString
     intercept[java.io.FileNotFoundException] {
