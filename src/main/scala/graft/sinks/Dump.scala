@@ -133,34 +133,55 @@ object Dump {
   }
 
   /**
+   * Emission for ONE row at global index `idx` — the reference's per-row
+   * text (xml.py:42-61) depends ONLY on the global row index (separator
+   * before every row but the first; batch header whenever idx %% batchSize
+   * == 0), so ranges of rows can be formatted independently given their
+   * start offsets and concatenated: the executor-parallel dump path.
+   */
+  def formatRowAt(idx: Long, row: Row, fields: Seq[String], table: String,
+      dialect: Dialect, batchSize: Int): String = {
+    val sb = new StringBuilder
+    val untilNewBulk = idx % batchSize
+    if (idx != 0)
+      sb.append(if (untilNewBulk == 0) dialect.lineEndingLast else dialect.lineEnding)
+    if (idx == 0 || untilNewBulk == 0)
+      sb.append(dialect.batchStart(table, fields))
+    val values = fields.indices.map(i => formatValue(row.get(i), dialect))
+    sb.append(dialect.rowIndent)
+      .append(dialect.rowParens._1)
+      .append(values.mkString(dialect.delimiter))
+      .append(dialect.rowParens._2)
+    sb.toString
+  }
+
+  /** Row bodies only (no table wrappers, no final line ending), starting at
+    * a given global row index — one partition's contribution to a dump. */
+  def formatRowsAt(rows: Iterator[Row], fields: Seq[String], table: String,
+      dialect: Dialect, batchSize: Int, startIdx: Long): Iterator[String] = {
+    var i = startIdx
+    rows.map { row =>
+      val s = formatRowAt(i, row, fields, table, dialect, batchSize)
+      i += 1
+      s
+    }
+  }
+
+  /**
    * The streaming formatter: rows -> text chunks, reproducing
    * Data.convert_and_dump's emission order byte for byte (xml.py:13-79).
    */
   def formatRows(rows: Iterator[Row], fields: Seq[String], table: String,
       dialect: Dialect, batchSize: Int = 500): Iterator[String] = {
-    var currentRow = 0L
+    var any = false
     val head = Iterator.single(dialect.tableStart(table))
-    val body = rows.map { row =>
-      val sb = new StringBuilder
-      val untilNewBulk = currentRow % batchSize
-      if (currentRow != 0)
-        sb.append(if (untilNewBulk == 0) dialect.lineEndingLast else dialect.lineEnding)
-      if (currentRow == 0 || untilNewBulk == 0)
-        sb.append(dialect.batchStart(table, fields))
-      val values = fields.indices.map(i => formatValue(row.get(i), dialect))
-      sb.append(dialect.rowIndent)
-        .append(dialect.rowParens._1)
-        .append(values.mkString(dialect.delimiter))
-        .append(dialect.rowParens._2)
-      currentRow += 1
-      sb.toString
-    }
+    val body = formatRowsAt(rows.map { r => any = true; r }, fields, table, dialect, batchSize, 0L)
     val tail = new Iterator[String] {
       private var done = false
       def hasNext: Boolean = !done
       def next(): String = {
         done = true
-        (if (currentRow != 0) dialect.lineEndingLast else "") + dialect.tableEnd(table)
+        (if (any) dialect.lineEndingLast else "") + dialect.tableEnd(table)
       }
     }
     (head ++ body ++ tail).filter(_.nonEmpty)

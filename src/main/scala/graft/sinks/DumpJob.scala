@@ -183,49 +183,101 @@ object DumpJob {
 
   // ---------------------------------------------------- executor-parallel
 
+  /** Per-region section inventory: ordered part paths + total row count. */
+  private type Sections = Map[String, (Seq[String], Long)]
+
   /**
-   * Format one region-partitioned table into per-region section files, in
-   * parallel. `df` must carry `region` and `ord` columns plus the data
-   * columns in schema order. Rows are grouped by the region VALUE inside each
-   * partition (hash partitioning may co-locate several regions in one task —
-   * each gets its own file; a region never spans partitions). Returns the
-   * written section paths.
+   * Format one region-partitioned table into per-region section PART files,
+   * in parallel across AND within regions. `df` must carry `region` and
+   * `ord` columns plus the data columns in schema order.
+   *
+   * Two passes over one range-partitioned arrangement (the shuffle is
+   * computed once and reused across both jobs):
+   *  1. count the contiguous (partition, region) runs;
+   *  2. format each run with its GLOBAL start row index — the reference's
+   *     per-row emission depends only on that index (Dump.formatRowAt), so a
+   *     1M-row region is formatted by many tasks whose parts concatenate to
+   *     the exact sequential bytes. (Previously one task per region: a hot
+   *     region serialised the whole dump.)
+   * Table wrappers and the final line ending are added at assembly time.
    */
   private def writeSections(spark: SparkSession, df: DataFrame, table: String,
-      sectionDir: String, cfg: Config): Seq[String] = {
+      sectionDir: String, cfg: Config): Sections = {
     val dialect = cfg.dialect
     val batch = cfg.batchSize
     val ext = dialect.extension
     val dataFields = df.schema.fieldNames.filterNot(n => n == "region" || n == "ord").toSeq
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    df.repartition(col("region"))
+    val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    // Two persists, both load-bearing:
+    //  - src: range-boundary sampling is an extra pass over the child — on an
+    //    XML ingest that would re-parse every file; cache the parsed rows so
+    //    parsing happens exactly once.
+    //  - arranged: BOTH passes must see the exact same partition boundaries;
+    //    RangePartitioner samples per physical planning and the two actions
+    //    plan separately — without the pin a boundary row could shift between
+    //    the count pass and the format pass and corrupt the offsets.
+    val src = df.select((col("region") +: col("ord") +: dataFields.map(col)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val arranged = src
+      .repartitionByRange(parts, col("region"), col("ord"))
       .sortWithinPartitions(col("region"), col("ord"))
       .select((col("region") +: dataFields.map(col)): _*)
-      .foreachPartition { (it: Iterator[Row]) =>
-        // NB: not named "buffered" — inside `new Iterator`, that name would
-        // resolve to the inherited Iterator.buffered METHOD on `this`,
-        // re-buffering the anon itself into infinite mutual recursion
-        val lookahead = it.buffered
-        while (lookahead.hasNext) {
-          val region = Option(lookahead.head.getString(0)).getOrElse("")
-          // one writer per contiguous region run — regions sharing a hash
-          // partition each get their own, correctly named, section file
-          val sectionRows = new Iterator[Row] {
-            def hasNext: Boolean = lookahead.hasNext &&
-              Option(lookahead.head.getString(0)).getOrElse("") == region
-            def next(): Row = Row.fromSeq(lookahead.next().toSeq.drop(1))
-          }
-          val p = new Path(s"$sectionDir/$table/${if (region.isEmpty) "_common" else region}.$ext")
-          val fs = p.getFileSystem(serConf.value)
-          val w = new BufferedWriter(new OutputStreamWriter(fs.create(p, true), StandardCharsets.UTF_8))
-          try Dump.formatRows(sectionRows, dataFields, table, dialect, batch).foreach(w.write)
-          finally w.close()
-        }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // pass 1: (partitionId, regionKey, rows) per contiguous region run
+    import org.apache.spark.sql.Encoders
+    val runs: Array[(Int, String, Long)] = arranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r =>
+        val key = Option(r.getString(0)).getOrElse("_common")
+        counts(key) = counts.getOrElse(key, 0L) + 1L
       }
-    val fs = new Path(sectionDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = fs.globStatus(new Path(s"$sectionDir/$table/*.$ext"))
-    if (st == null) Nil else st.toSeq.map(_.getPath.toString)
+      counts.iterator.map { case (k, n) => (pid, k, n) }
+    }(Encoders.tuple(Encoders.scalaInt, Encoders.STRING, Encoders.scalaLong))
+      .collect()
+
+    // global start offset of each (partition, region) run + per-region totals
+    val byRegion = runs.groupBy(_._2)
+    val startOf: Map[(Int, String), Long] = byRegion.flatMap { case (region, rs) =>
+      var acc = 0L
+      rs.sortBy(_._1).map { case (pid, _, n) =>
+        val s = ((pid, region), acc); acc += n; s
+      }
+    }
+    val totals: Map[String, Long] = byRegion.map { case (r, rs) => r -> rs.map(_._3).sum }
+
+    // pass 2: format each run at its offset into {table}/{region}/p{pid}.{ext}
+    arranged.foreachPartition { (it: Iterator[Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      // NB: not named "buffered" — inside `new Iterator`, that name would
+      // resolve to the inherited Iterator.buffered METHOD on `this`,
+      // re-buffering the anon itself into infinite mutual recursion
+      val lookahead = it.buffered
+      while (lookahead.hasNext) {
+        val region = Option(lookahead.head.getString(0)).getOrElse("_common")
+        val sectionRows = new Iterator[Row] {
+          def hasNext: Boolean = lookahead.hasNext &&
+            Option(lookahead.head.getString(0)).getOrElse("_common") == region
+          def next(): Row = Row.fromSeq(lookahead.next().toSeq.drop(1))
+        }
+        val p = new Path(f"$sectionDir/$table/$region/p$pid%05d.$ext")
+        val fs = p.getFileSystem(serConf.value)
+        val w = new BufferedWriter(new OutputStreamWriter(fs.create(p, true), StandardCharsets.UTF_8))
+        try Dump.formatRowsAt(sectionRows, dataFields, table, dialect, batch,
+          startOf((pid, region))).foreach(w.write)
+        finally w.close()
+      }
+    }
+
+    arranged.unpersist(false)
+    src.unpersist(false)
+    byRegion.map { case (region, rs) =>
+      region -> (rs.map(_._1).sorted.map(pid => f"$sectionDir/$table/$region/p$pid%05d.$ext"),
+        totals(region))
+    }
   }
 
   /** Stream-copy a section file into an open writer (byte-bound, no rows). */
@@ -252,24 +304,27 @@ object DumpJob {
     val ext = cfg.dialect.extension
     val regions = cfg.regions.sorted
 
-    // 1. distributed formatting into sections
-    val sections: Map[String, Map[String, String]] = tableDfs.map { case (t, df) =>
-      val paths = writeSections(spark, df, t, staging, cfg)
-      t -> paths.map(p => new Path(p).getName.stripSuffix(s".$ext") -> p).toMap
+    // 1. distributed formatting into section parts
+    val sections: Map[String, Sections] = tableDfs.map { case (t, df) =>
+      t -> writeSections(spark, df, t, staging, cfg)
     }.toMap
 
-    def sectionOf(t: String, r: Option[String]): Option[String] =
+    def sectionOf(t: String, r: Option[String]): Option[(Seq[String], Long)] =
       sections.getOrElse(t, Map.empty).get(r.getOrElse("_common"))
 
-    // 2. assemble output files per mode (byte concat through Hadoop FS)
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    def assemble(path: String)(parts: java.io.OutputStream => Unit): Unit = {
-      val p = new Path(path)
-      val fs = p.getFileSystem(conf)
-      val out = fs.create(p, true)
-      try parts(out) finally out.close()
-      files += path
-    }
+    // 2. assemble output files per mode (byte concat through Hadoop FS).
+    // Files are independent, so assembly runs on a driver thread pool —
+    // with many regions the serial concat would otherwise dominate.
+    val files = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val assemblies = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    def assemble(path: String)(parts: java.io.OutputStream => Unit): Unit =
+      assemblies += { () =>
+        val p = new Path(path)
+        val fs = p.getFileSystem(conf)
+        val out = fs.create(p, true)
+        try parts(out) finally out.close()
+        files.add(path)
+      }
     def metaBytes(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
     def emit(out: java.io.OutputStream, s: String): Unit =
       if (cfg.includeMeta) out.write(metaBytes(s))
@@ -277,8 +332,13 @@ object DumpJob {
         withSep: Boolean): Unit = {
       if (withSep) emit(out, "\n" + Dump.composeTableSeparator(t, r))
       sectionOf(t, r) match {
-        case Some(sec) => copySection(out, sec, conf)
-        case None => // empty slice for a dialect without wrappers -> no bytes
+        case Some((parts, total)) =>
+          // wrappers + final line ending here; parts hold row bodies only
+          out.write(metaBytes(cfg.dialect.tableStart(t)))
+          parts.foreach(p => copySection(out, p, conf))
+          out.write(metaBytes(
+            (if (total > 0) cfg.dialect.lineEndingLast else "") + cfg.dialect.tableEnd(t)))
+        case None => // empty slice: wrappers only (reference emits them too)
           out.write(metaBytes(Dump.formatRows(Iterator.empty,
             Nil, t, cfg.dialect, cfg.batchSize).mkString))
       }
@@ -328,10 +388,19 @@ object DumpJob {
           emit(out, "\n" + cfg.dialect.footer)
         }
     }
+    // run the assemblies (pool sized for IO concurrency, not CPU count)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, assemblies.size)))
+    try {
+      val futures = assemblies.map(a => pool.submit(new Runnable { def run(): Unit = a() }))
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+
     // clean staging
     val sfs = new Path(staging).getFileSystem(conf)
     sfs.delete(new Path(staging), true)
-    files.toSeq
+    import scala.jdk.CollectionConverters._
+    files.asScala.toSeq.sorted
   }
 
   /**
