@@ -27,7 +27,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val p = DocStore.ensure(spark, 0.001)
     DocPipeline.regionDocCounts(
-      DocStore.readDf(spark, p),
+      DocStore.readDfPruned(spark, p, Seq("kind", "text", "offset")),
       DataGen.regionPolys(spark).toDF())
   }
 
@@ -240,7 +240,10 @@ object SparkEntry {
 
     "q_region_doc_counts" -> ((s, dir) => {
       val p = DocStore.ensure(s, sfOf(dir))
-      DocPipeline.regionDocCounts(DocStore.readDf(s, p), DataGen.regionPolys(s).toDF())
+      // anchors never touch media_ref: prune it at the scan (readDfPruned)
+      DocPipeline.regionDocCounts(
+        DocStore.readDfPruned(s, p, Seq("kind", "text", "offset")),
+        DataGen.regionPolys(s).toDF())
     }),
 
     "q_media_tile_consistency" -> ((s, dir) => {
@@ -377,7 +380,8 @@ object SparkEntry {
       // kNN completeness — exactly k ranked neighbours per sampled query.
       // Result EXACTNESS (== brute force) is pinned by OperatorsSpec.
       val p = DocStore.ensure(s, sfOf(dir))
-      val anchors = DocPipeline.docAnchors(DocStore.readDf(s, p))
+      val anchors = DocPipeline.docAnchors(
+        DocStore.readDfPruned(s, p, Seq("kind", "text", "offset")))
         .where(substring_index(col("doc_id"), "-D", -1).cast("long") % 5 === 0)
         .select(col("doc_id").as("qid"), col("lat"), col("lon"))
       val addrs = DataGen.addrPoints(s, sfOf(dir)).toDF()
