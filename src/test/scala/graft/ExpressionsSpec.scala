@@ -148,6 +148,22 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("hv") == 633020.0)
   }
 
+  test("ivf_probes matches a direct scala ranking (codegen path, reference-object centroids)") {
+    val cents = Array(
+      Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f),
+      Array(0.7f, 0.7f, 0f))
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.1f, 0f)), (2L, Array(0f, 0.2f, 0.9f)), (3L, Array(0.6f, 0.6f, 0.1f)))
+      .toDF("id", "v")
+    val got = vecs.select($"id", gf.ivf_probes($"v", cents, 2).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    def rank(v: Array[Float]) = cents.indices
+      .sortBy(i => (-graft.geo.VecAlgos.cosine(v, cents(i)), i)).take(2)
+    assert(got(1L) == rank(Array(0.9f, 0.1f, 0f)))
+    assert(got(2L) == rank(Array(0f, 0.2f, 0.9f)))
+    assert(got(3L) == rank(Array(0.6f, 0.6f, 0.1f)))
+  }
+
   test("whole-stage codegen stays enabled over the cell-encode pipeline") {
     val plan = spark.range(1000)
       .selectExpr("cast(id as double) / 10 - 40 as lat", "cast(id as double) / 5 - 100 as lon")
