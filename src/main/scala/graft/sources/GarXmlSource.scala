@@ -81,23 +81,52 @@ class GarXmlTable(tableName: String, defn: XsdSchema.Definition,
 
 class GarXmlScanBuilder(table: String, defn: XsdSchema.Definition,
     full: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var required: StructType = full
+  private var regionFilter: Option[Set[String]] = None
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GarXmlScan(table, defn, required, options)
+  /** Region predicates become FILE pruning (the V2 analog of partition
+    * pruning on the directory-as-partition layout, dump.py:12-14). Every
+    * filter is also retained by Spark post-scan, so accepting only the
+    * region shapes we understand is safe. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val regions = filters.collect {
+      case EqualTo("region", v: String) => Set(v)
+      case In("region", vs) => vs.collect { case s: String => s }.toSet
+    }
+    if (regions.nonEmpty) {
+      regionFilter = Some(regions.reduce(_ intersect _))
+      pushed = filters.filter {
+        case EqualTo("region", _: String) => true
+        case In("region", _) => true
+        case _ => false
+      }
+    }
+    filters // Spark re-applies everything after the scan (correctness-safe)
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new GarXmlScan(table, defn, required, options, regionFilter)
 }
 
 class GarXmlScan(table: String, defn: XsdSchema.Definition,
-    required: StructType, options: CaseInsensitiveStringMap) extends Scan with Batch {
+    required: StructType, options: CaseInsensitiveStringMap,
+    regionFilter: Option[Set[String]] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GarXmlScan(table=$table, columns=${required.fieldNames.mkString(",")})"
+    s"GarXmlScan(table=$table, columns=${required.fieldNames.mkString(",")}" +
+      regionFilter.map(r => s", regions=${r.toSeq.sorted.mkString("|")}").getOrElse("") + ")"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val sourceDir = options.get("path")
@@ -107,8 +136,12 @@ class GarXmlScan(table: String, defn: XsdSchema.Definition,
     val files: Seq[(String, String)] =
       if (isCommon) Seq("" -> GarXml.discoverFile(sourceDir, table, "xml", conf))
       else {
-        val regs = Option(options.get("regions")).map(_.split(",").toSeq.map(_.trim))
+        val regs0 = Option(options.get("regions")).map(_.split(",").toSeq.map(_.trim))
           .getOrElse(GarXml.discoverRegions(sourceDir, conf))
+        val regs = regionFilter match {
+          case Some(keep) => regs0.filter(keep) // pushed-down file pruning
+          case None => regs0
+        }
         regs.map(r => r -> GarXml.discoverFile(s"$sourceDir/$r", table, "xml", conf))
       }
     files.flatMap { case (region, path) =>

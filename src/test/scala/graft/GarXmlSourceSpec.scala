@@ -46,6 +46,20 @@ class GarXmlSourceSpec extends AnyFunSuite {
     assert(got.sorted == want.sorted)
   }
 
+  test("v2 source: region FILTER pushes down to file pruning (partition-pruning analog)") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("gar-xml").option("table", "ADDR_OBJ").load(fix)
+      .where(col("region") === "77")
+    val plan = df.queryExecution.executedPlan.toString
+    // the scan itself lists only region 77's file — visible in its description
+    assert(plan.contains("regions=77"), plan)
+    assert(df.count() == 6)
+    // IN-list shape too
+    val df2 = spark.read.format("gar-xml").option("table", "ADDR_OBJ").load(fix)
+      .where(col("region").isin("01", "77"))
+    assert(df2.count() == 11)
+  }
+
   test("v2 source feeds the dump pipeline to reference-identical bytes") {
     // the v2 scan slots straight into the parity provider shape
     val df = spark.read.format("gar-xml")
