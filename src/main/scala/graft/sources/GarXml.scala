@@ -250,6 +250,9 @@ object GarXml {
   /**
    * Distributed read of one table across regions, schema-driven by the
    * runtime-parsed XSD. Output columns: XSD fields ++ (region, ord).
+   * Delegates to the DataSource V2 connector (GarXmlSource) — splittable
+   * InputPartitions, InternalRow production, pruning hooks; no RDD anywhere
+   * in the ingest.
    *
    * @param chunkBytes byte-range split size; files larger than this are read
    *                   by multiple tasks (element-boundary resync at offsets).
@@ -257,53 +260,12 @@ object GarXml {
   def read(spark: SparkSession, sourceDir: String, table: String,
       regions: Seq[String] = Nil, schemaDir: String = null,
       chunkBytes: Long = 64L * 1024 * 1024): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val sDir = if (schemaDir == null) sourceDir else schemaDir
-    val defn =
-      try definitionOf(sDir, table, conf)
-      catch { case _: java.io.FileNotFoundException =>
-        // registry fallback: no XSD shipped alongside the data
-        XsdSchema.Definition(
-          XsdSchema.collectionTagOf(SchemaRegistry.entityOf(table)),
-          XsdSchema.entityTagOf(SchemaRegistry.entityOf(table)),
-          SchemaRegistry.schemaOf(table).fields.toSeq, "")
-      }
-    val schema = defn.schema
-    val tag = defn.entityTag
-
-    val isCommon = SchemaRegistry.commonTables.exists(_._1 == table)
-    val files: Seq[(String, String)] =
-      if (isCommon) Seq("" -> discoverFile(sourceDir, table, "xml", conf))
-      else {
-        val regs = if (regions.nonEmpty) regions else discoverRegions(sourceDir, conf)
-        regs.map(r => r -> discoverFile(s"$sourceDir/$r", table, "xml", conf))
-      }
-
-    // offset splits: ingest parallelism >= cores even for one huge file
-    val chunks: Seq[(String, String, Long, Long)] = files.flatMap { case (region, path) =>
-      val len = fs(path, conf).getFileStatus(new Path(path)).getLen
-      val n = math.max(1L, (len + chunkBytes - 1) / chunkBytes)
-      (0L until n).map(i => (region, path, i * chunkBytes, math.min(len, (i + 1) * chunkBytes)))
-    }
-
-    val withMeta = StructType(schema.fields ++ Seq(
-      StructField("region", StringType, nullable = true),
-      StructField("ord", LongType, nullable = false)))
-    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
-    val fieldArr = schema.fields
-    val rdd = spark.sparkContext
-      .parallelize(chunks, math.max(1, chunks.size))
-      .flatMap { case (region, path, start, end) =>
-        val p = new Path(path)
-        val stream = p.getFileSystem(serConf.value).open(p)
-        if (start > 0) stream.seek(start)
-        scanElements(stream, start, end, tag).map { e =>
-          val vals = fieldArr.map(f =>
-            e.attrs.get(f.name).map(v => cast(v, f.dataType)).orNull)
-          Row.fromSeq((vals :+ (if (region.isEmpty) null else region) :+ e.offset).toSeq)
-        }
-      }
-    spark.createDataFrame(rdd, withMeta)
+    var r = spark.read.format("gar-xml")
+      .option("table", table)
+      .option("chunkBytes", chunkBytes.toString)
+    if (regions.nonEmpty) r = r.option("regions", regions.mkString(","))
+    if (schemaDir != null) r = r.option("schemaDir", schemaDir)
+    r.load(sourceDir)
   }
 
   /** Entity (row) tag fallback for a table (fixture tags; real reads derive
