@@ -61,16 +61,20 @@ object Gar {
     }
     val cfg = DumpJob.Config.fromEnv(tableList, regionList, target, m)
 
+    // lexicalBooleans: the dump formats the RAW xs:boolean lexical value so
+    // formatValue reproduces reference bytes for '1'/'0' too (xml.py:29-32
+    // bool-encodes only the literal strings "true"/"false")
     if (parallel) {
       val common = SchemaRegistry.commonTables.map(_._1).toSet
       val tableDfs = tableList.map { t =>
         val regs = if (common(t)) Nil else regionList
-        t -> GarXml.read(spark, sourcePath, t, regs, schemaDir)
+        t -> GarXml.read(spark, sourcePath, t, regs, schemaDir, lexicalBooleans = true)
       }
       DumpJob.writeParallel(spark, tableDfs, outputPath, cfg)
     } else {
       val provider: DumpJob.SliceProvider = (table, region) => {
-        val df = GarXml.read(spark, sourcePath, table, region.toSeq, schemaDir)
+        val df = GarXml.read(spark, sourcePath, table, region.toSeq, schemaDir,
+          lexicalBooleans = true)
         val dataCols = df.schema.fieldNames.filterNot(n => n == "region" || n == "ord")
         df.orderBy("ord").select(dataCols.map(col): _*)
       }

@@ -322,15 +322,20 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("vec"))
       val corpus = emb.select(col("vec_id").as("tid"), col("embedding").as("vec"))
-      val brute = graft.operators.Similarity.bruteTopK(queries, corpus, k = 3)
-      val ann = graft.operators.Similarity.annTopK(queries, corpus, k = 3)
+      // cache each variant's result before the recall/count arithmetic —
+      // recall() runs two actions per call and brute is a cross join, so an
+      // uncached pipeline here recomputes the exact baseline ~4x
+      val brute = graft.operators.Similarity.bruteTopK(queries, corpus, k = 3).cache()
+      val ann = graft.operators.Similarity.annTopK(queries, corpus, k = 3).cache()
       val ivf = graft.operators.Similarity.ivfTopK(queries, corpus, k = 3,
-        kCentroids = 16, nProbe = 8, kmeansIters = 2)
-      val r = graft.operators.Similarity.recall(ann, brute)
-      val rIvf = graft.operators.Similarity.recall(ivf, brute)
-      Seq((math.floor(r * 100).toLong, math.floor(rIvf * 100).toLong,
-        brute.count(), ann.count()))
-        .toDF("recall_pct", "ivf_recall_pct", "n_exact", "n_ann")
+        kCentroids = 16, nProbe = 8, kmeansIters = 2).cache()
+      try {
+        val r = graft.operators.Similarity.recall(ann, brute)
+        val rIvf = graft.operators.Similarity.recall(ivf, brute)
+        Seq((math.floor(r * 100).toLong, math.floor(rIvf * 100).toLong,
+          brute.count(), ann.count()))
+          .toDF("recall_pct", "ivf_recall_pct", "n_exact", "n_ann")
+      } finally { brute.unpersist(); ann.unpersist(); ivf.unpersist() }
     }),
 
     "q_text_profile" -> ((s, dir) =>

@@ -34,23 +34,31 @@ object Similarity {
   }
 
   /** Approximate top-k: LSH band candidates, exact re-rank, top-k.
-    * Missing neighbours (no shared band) are the recall loss. */
+    * Missing neighbours (no shared band) are the recall loss.
+    *
+    * Shuffle shape (same discipline as [[Dedup.minhashLshPairs]]): ONLY
+    * (id, band) rides the band equi-join and ONLY (qid, tid) rides the
+    * candidate distinct — quantised vectors never enter a wide shuffle.
+    * They re-join once per unique candidate pair, against sides first
+    * semi-joined down to candidate participants (tiny next to the corpus,
+    * so AQE broadcasts them). */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       bits: Int = 16, bands: Int = 8): DataFrame = {
-    val q = queries
-      .select(col("qid"), col("vec"))
-      .withColumn("q_q", gf.vec_quantize(col("vec")))
-      .withColumn("band", explode(gf.sig_bands(gf.vec_sig(col("vec"), bits), bits, bands)))
-      .drop("vec")
-    val c = corpus
-      .select(col("tid"), col("vec"))
-      .withColumn("q_t", gf.vec_quantize(col("vec")))
-      .withColumn("band", explode(gf.sig_bands(gf.vec_sig(col("vec"), bits), bits, bands)))
-      .drop("vec")
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("tid"))
-    q.join(c, Seq("band"))
-      .select(col("qid"), col("tid"), col("q_q"), col("q_t"))
+    val qVec = queries.select(col("qid"), gf.vec_quantize(col("vec")).as("q_q"))
+    val cVec = corpus.select(col("tid"), gf.vec_quantize(col("vec")).as("q_t"))
+    val qBand = queries.select(col("qid"),
+      explode(gf.sig_bands(gf.vec_sig(col("vec"), bits), bits, bands)).as("band"))
+    val cBand = corpus.select(col("tid"),
+      explode(gf.sig_bands(gf.vec_sig(col("vec"), bits), bits, bands)).as("band"))
+    val candidates = qBand.join(cBand, Seq("band"))
+      .select(col("qid"), col("tid"))
       .distinct()
+    val qNeeded = qVec.join(candidates.select(col("qid")).distinct(), Seq("qid"), "left_semi")
+    val tNeeded = cVec.join(candidates.select(col("tid")).distinct(), Seq("tid"), "left_semi")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("tid"))
+    candidates
+      .join(qNeeded, "qid")
+      .join(tNeeded, "tid")
       .withColumn("cos", gf.vec_cos_q(col("q_q"), col("q_t")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)

@@ -299,7 +299,10 @@ object DumpJob {
   def writeParallel(spark: SparkSession, tableDfs: Seq[(String, DataFrame)],
       outPath: String, cfg: Config, stagingDir: String = null): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val staging = Option(stagingDir).getOrElse(s"$outPath/_sections")
+    // staging must be a SIBLING of outPath, not nested under it: in Direct
+    // mode outPath is the output FILE, and writing sections under it first
+    // would turn it into a directory the final assembly can't overwrite
+    val staging = Option(stagingDir).getOrElse(s"$outPath.__sections")
     val byTable = tableDfs.toMap
     val ext = cfg.dialect.extension
     val regions = cfg.regions.sorted

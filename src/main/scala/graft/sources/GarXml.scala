@@ -219,7 +219,9 @@ object GarXml {
         case st => st.toSeq.map(_.getPath.toString)
       }
     }.distinct.sorted
-    if (found.length > 1) throw new java.io.FileNotFoundException(
+    // distinct from the not-found case: callers with a registry fallback
+    // (GarXmlSource.defnOf) must surface ambiguity, not silently fall back
+    if (found.length > 1) throw new IllegalStateException(
       s"More than one file found for $table in $dir")
     if (found.isEmpty) throw new java.io.FileNotFoundException(
       s"Not found source file: $dir/AS_${table}_2*.$ext")
@@ -259,10 +261,12 @@ object GarXml {
    */
   def read(spark: SparkSession, sourceDir: String, table: String,
       regions: Seq[String] = Nil, schemaDir: String = null,
-      chunkBytes: Long = 64L * 1024 * 1024): DataFrame = {
+      chunkBytes: Long = 64L * 1024 * 1024,
+      lexicalBooleans: Boolean = false): DataFrame = {
     var r = spark.read.format("gar-xml")
       .option("table", table)
       .option("chunkBytes", chunkBytes.toString)
+      .option("lexicalBooleans", lexicalBooleans.toString)
     if (regions.nonEmpty) r = r.option("regions", regions.mkString(","))
     if (schemaDir != null) r = r.option("schemaDir", schemaDir)
     r.load(sourceDir)

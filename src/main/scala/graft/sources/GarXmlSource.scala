@@ -26,7 +26,12 @@ import java.util
  *  - rows produced as InternalRow (no Row->InternalRow conversion layer).
  *
  * Options: table (required), regions (csv, default: discover), schemaDir
- * (default: source path), chunkBytes (default 64 MB).
+ * (default: source path), chunkBytes (default 64 MB), lexicalBooleans
+ * (default false: xs:boolean fields surface as StringType carrying the RAW
+ * lexical value — the dump path uses this so Dump.formatValue reproduces the
+ * reference's bytes for every xs:boolean lexical form: only the literal
+ * strings "true"/"false" bool-encode, "1"/"0" pass through quoted,
+ * xml.py:29-32).
  */
 class GarXmlSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
 
@@ -51,7 +56,12 @@ class GarXmlSource extends TableProvider with org.apache.spark.sql.sources.DataS
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (defn, _) = defnOf(options)
-    StructType(defn.fields ++ Seq(
+    val fields =
+      if (options.getBoolean("lexicalBooleans", false))
+        defn.fields.map(f =>
+          if (f.dataType == BooleanType) f.copy(dataType = StringType) else f)
+      else defn.fields
+    StructType(fields ++ Seq(
       StructField("region", StringType, nullable = true),
       StructField("ord", LongType, nullable = false)))
   }
@@ -95,20 +105,26 @@ class GarXmlScanBuilder(table: String, defn: XsdSchema.Definition,
     * pruning on the directory-as-partition layout, dump.py:12-14). Every
     * filter is also retained by Spark post-scan, so accepting only the
     * region shapes we understand is safe. */
+  /** The set of regions a filter ALLOWS, when expressible: EqualTo / In over
+    * `region`, plus Or-chains of those (Catalyst plans `r === a || r === b`
+    * as Or, not In). None = not a region-set shape (no pruning from it). */
+  private def regionSet(f: org.apache.spark.sql.sources.Filter): Option[Set[String]] = {
+    import org.apache.spark.sql.sources.{EqualTo, In, Or}
+    f match {
+      case EqualTo("region", v: String) => Some(Set(v))
+      case In("region", vs) if vs.forall(_.isInstanceOf[String]) =>
+        Some(vs.collect { case s: String => s }.toSet)
+      case Or(l, r) => for (a <- regionSet(l); b <- regionSet(r)) yield a union b
+      case _ => None
+    }
+  }
+
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
-    import org.apache.spark.sql.sources.{EqualTo, In}
-    val regions = filters.collect {
-      case EqualTo("region", v: String) => Set(v)
-      case In("region", vs) => vs.collect { case s: String => s }.toSet
-    }
+    val regions = filters.flatMap(regionSet)
     if (regions.nonEmpty) {
       regionFilter = Some(regions.reduce(_ intersect _))
-      pushed = filters.filter {
-        case EqualTo("region", _: String) => true
-        case In("region", _) => true
-        case _ => false
-      }
+      pushed = filters.filter(regionSet(_).isDefined)
     }
     filters // Spark re-applies everything after the scan (correctness-safe)
   }
@@ -162,6 +178,27 @@ class GarXmlScan(table: String, defn: XsdSchema.Definition,
 case class GarXmlInputPartition(region: String, path: String, start: Long, end: Long)
     extends InputPartition
 
+object GarXmlReaderFactory {
+  /** "yyyy-MM-dd" -> epoch day with zero allocation (civil-to-days,
+    * Hinnant's algorithm — what java.time does internally, minus the
+    * LocalDate object per value). Falls back to java.time for any
+    * non-canonical shape. */
+  def isoToEpochDay(v: String): Int = {
+    if (v.length != 10 || v.charAt(4) != '-' || v.charAt(7) != '-')
+      return java.time.LocalDate.parse(v).toEpochDay.toInt
+    val y0 = (v.charAt(0) - '0') * 1000 + (v.charAt(1) - '0') * 100 +
+      (v.charAt(2) - '0') * 10 + (v.charAt(3) - '0')
+    val m = (v.charAt(5) - '0') * 10 + (v.charAt(6) - '0')
+    val d = (v.charAt(8) - '0') * 10 + (v.charAt(9) - '0')
+    val y = if (m <= 2) y0 - 1 else y0
+    val era = (if (y >= 0) y else y - 399) / 400
+    val yoe = y - era * 400
+    val doy = (153 * (if (m > 2) m - 3 else m + 9) + 2) / 5 + d - 1
+    val doe = yoe * 365 + yoe / 4 - yoe / 100 + doy
+    era * 146097 + doe - 719468
+  }
+}
+
 case class GarXmlReaderFactory(entityTag: String, required: StructType,
     conf: SerializableConfiguration) extends PartitionReaderFactory {
 
@@ -202,14 +239,15 @@ case class GarXmlReaderFactory(entityTag: String, required: StructType,
                 case ShortType => v.toShort
                 case ByteType => v.toByte
                 case BooleanType => v == "true" || v == "1"
-                case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+                case DateType => GarXmlReaderFactory.isoToEpochDay(v)
                 case other => throw new IllegalStateException(s"unexpected GAR type $other")
               }
             }
           }
           i += 1
         }
-        InternalRow.fromSeq(vals.toSeq)
+        // hottest path in the ingest: wrap the array directly, no copy
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
       }
 
       override def get(): InternalRow = current

@@ -60,6 +60,60 @@ class GarXmlSourceSpec extends AnyFunSuite {
     assert(df2.count() == 11)
   }
 
+  test("v2 source: Or-shape region predicate prunes to exactly those files") {
+    import org.apache.spark.sql.functions.col
+    // Catalyst plans `r === a || r === b` as Or(EqualTo, EqualTo), not In —
+    // the pushdown must fold Or-chains into the file-pruning set
+    val df = spark.read.format("gar-xml").option("table", "ADDR_OBJ").load(fix)
+      .where(col("region") === "01" || col("region") === "77")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("regions=01|77"), plan)
+    assert(df.count() == 11)
+    // mixed Or over EqualTo and In folds too
+    val df2 = spark.read.format("gar-xml").option("table", "ADDR_OBJ").load(fix)
+      .where(col("region") === "01" || col("region").isin("77"))
+    assert(df2.queryExecution.executedPlan.toString.contains("regions=01|77"))
+    assert(df2.count() == 11)
+    // an Or that mixes region with another column must NOT prune
+    val df3 = spark.read.format("gar-xml").option("table", "ADDR_OBJ").load(fix)
+      .where(col("region") === "01" || col("NAME").isNotNull)
+    assert(!df3.queryExecution.executedPlan.toString.contains("regions="),
+      df3.queryExecution.executedPlan.toString)
+    assert(df3.count() == 11)
+  }
+
+  test("lexicalBooleans: dump path reproduces reference bytes for xs:boolean '1'/'0'") {
+    // the reference bool-encodes ONLY the literal strings "true"/"false"
+    // (xml.py:29-32); '1' passes through as a plain quoted string. The typed
+    // read normalises '1' -> true; the dump path reads the raw lexical value.
+    val root = Files.createTempDirectory("gar_lexbool").toString
+    val xml =
+      "<?xml version=\"1.0\" encoding=\"utf-8\"?>\n<HOUSETYPES>\n" +
+        "  <HOUSETYPE ID=\"1\" NAME=\"a\" UPDATEDATE=\"2021-01-01\" " +
+        "STARTDATE=\"2021-01-01\" ENDDATE=\"2079-06-06\" ISACTIVE=\"1\" />\n" +
+        "  <HOUSETYPE ID=\"2\" NAME=\"b\" UPDATEDATE=\"2021-01-01\" " +
+        "STARTDATE=\"2021-01-01\" ENDDATE=\"2079-06-06\" ISACTIVE=\"true\" />\n" +
+        "</HOUSETYPES>\n"
+    Files.write(java.nio.file.Paths.get(root, "AS_HOUSE_TYPES_20210101.xml"),
+      xml.getBytes("UTF-8"))
+
+    // typed read: both lexical forms land as boolean true
+    val typed = GarXml.read(spark, root, "HOUSE_TYPES").orderBy("ord")
+      .select("ISACTIVE").collect().map(_.getBoolean(0)).toSeq
+    assert(typed == Seq(true, true))
+
+    // lexical read: raw strings survive for the dump formatter
+    val raw = GarXml.read(spark, root, "HOUSE_TYPES", lexicalBooleans = true)
+    assert(raw.schema("ISACTIVE").dataType == org.apache.spark.sql.types.StringType)
+    import org.apache.spark.sql.functions.col
+    val dataCols = raw.schema.fieldNames.filterNot(n => n == "region" || n == "ord")
+    val slice = raw.orderBy("ord").select(dataCols.map(col): _*)
+    val sql = graft.sinks.Dump.formatSlice(slice, "HOUSE_TYPES", graft.sinks.Dump.mysql)
+    // '1' emits quoted like any string; 'true' emits the dialect boolRepr (bare 1)
+    assert(sql.contains("\"1\""), sql)   // reference: value.translate + quotes
+    assert(sql.contains(",1)") || sql.contains(", 1)") || sql.contains(",1,"), sql)
+  }
+
   test("v2 source feeds the dump pipeline to reference-identical bytes") {
     // the v2 scan slots straight into the parity provider shape
     val df = spark.read.format("gar-xml")

@@ -123,7 +123,9 @@ class GarXmlSpec extends AnyFunSuite {
     }
     Files.write(Paths.get(root, "AS_HOUSES_20210101.xml"), "<x/>".getBytes)
     Files.write(Paths.get(root, "AS_HOUSES_20210202.XML"), "<x/>".getBytes)
-    intercept[java.io.FileNotFoundException] {
+    // ambiguity is a DISTINCT exception from not-found, so the V2 source's
+    // registry fallback can't swallow it (only genuinely-missing falls back)
+    intercept[IllegalStateException] {
       GarXml.discoverFile(root, "HOUSES", "xml") // >1 match, case-insensitive ext
     }
   }

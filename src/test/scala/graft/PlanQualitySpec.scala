@@ -111,6 +111,34 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected an (id_a,id_b)-only distinct in:\n$optimized")
   }
 
+  test("ANN top-k: no shuffle carries quantised vectors through band join or candidate-distinct") {
+    // same 100 TB discipline as the minhash gate: the band equi-join's inputs
+    // are ids-only and the candidate distinct groups ONLY (qid, tid); the
+    // quantised vectors re-join once per unique candidate pair
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val emb = Seq((1L, Array(1f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f)), (3L, Array(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val q = emb.select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val c = emb.select($"vec_id".as("tid"), $"embedding".as("vec"))
+    val optimized = graft.operators.Similarity.annTopK(q, c, k = 2)
+      .queryExecution.optimizedPlan
+
+    val bandJoins = optimized.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "band")) => j
+    }
+    assert(bandJoins.nonEmpty, optimized.toString)
+    for (j <- bandJoins; side <- j.children)
+      assert(!side.output.exists(_.name.startsWith("q_")),
+        s"band join input carries quantised vectors: ${side.output.map(_.name)}")
+
+    val pairDistinct = optimized.collect {
+      case a: Aggregate if a.groupingExpressions.size == a.aggregateExpressions.size &&
+        a.output.map(_.name).toSet == Set("qid", "tid") => a
+    }
+    assert(pairDistinct.nonEmpty,
+      s"expected a (qid,tid)-only distinct in:\n$optimized")
+  }
+
   test("hot expression pipeline stays inside whole-stage codegen") {
     val plan = DocPipeline.docAnchors(DocStore.readDf(spark, docsPath))
       .queryExecution.executedPlan.toString

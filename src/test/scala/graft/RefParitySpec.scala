@@ -187,6 +187,12 @@ class RefParitySpec extends AnyFunSuite {
     Gar.dump(spark, fix, s"$outD/out.sql", target = "mysql",
       tables = GarFixture.tables)
     assertTreeEqual("mysql_direct", outD)
+    // same demotion on the PARALLEL path with the DEFAULT staging dir: the
+    // sections must stage as a sibling of the output FILE, never under it
+    val outDP = tmp("gar_facade_direct_par")
+    Gar.dump(spark, fix, s"$outDP/out.sql", target = "mysql",
+      tables = GarFixture.tables, parallel = true)
+    assertTreeEqual("mysql_direct", outDP)
     // csv outside region_tree is rejected (command.py:91-95)
     intercept[IllegalArgumentException] {
       Gar.dump(spark, fix, tmp("gar_csv"), target = "csv", mode = "direct",
