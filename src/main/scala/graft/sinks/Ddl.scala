@@ -57,9 +57,11 @@ object Ddl {
       case (MySql, ByteType) => "INT(1)"
       case (MySql, BooleanType) => "INT(1)"
       case (MySql, DateType) => "DATE"
-      case (MySql, StringType) if len > 0 && len <= 255 => s"VARCHAR($len)"
       case (MySql, StringType) if len > 255 => "TEXT"
-      case (MySql, StringType) => "TEXT"
+      case (MySql, StringType) if len > 0 => s"VARCHAR($len)"
+      // no length facet = direct @type="xs:string": the XSLT's catch-all
+      // <xsl:otherwise> emits VARCHAR(128) (mysql.schema.xsl:62), not TEXT
+      case (MySql, StringType) => "VARCHAR(128)"
       case (MySql, _) => "VARCHAR(128)"
 
       case (Postgres, ShortType) => "smallint"
@@ -68,8 +70,9 @@ object Ddl {
       case (Postgres, ByteType) => "smallint"
       case (Postgres, BooleanType) => "boolean"
       case (Postgres, DateType) => "date"
-      case (Postgres, StringType) if len > 0 && len <= 255 => s"varchar($len)"
-      case (Postgres, StringType) => "text"
+      case (Postgres, StringType) if len > 255 => "text"
+      case (Postgres, StringType) if len > 0 => s"varchar($len)"
+      case (Postgres, StringType) => "varchar(128)" // direct xs:string, see MySql note
       case (Postgres, _) => "varchar(128)"
 
       case (ClickHouse, ShortType) => "Int16"

@@ -38,6 +38,17 @@ object GarFixture {
   def commonTables: Seq[String] = plan.filter(_._2.isEmpty).map(_._1).distinct
   def regions: Seq[String] = plan.map(_._2).filter(_.nonEmpty).distinct.sorted
 
+  /** Render an XSD for EVERY known entity into `root` — the reference
+    * `schema` subcommand parses all of them up front (schema.py:64-70). */
+  def writeAllXsds(root: String): String = {
+    for (e <- SchemaRegistry.entities.keys) {
+      val p = Paths.get(root, s"AS_${e}_2_fixture.xsd")
+      Files.createDirectories(p.getParent)
+      Files.write(p, XsdSchema.render(e).getBytes(StandardCharsets.UTF_8))
+    }
+    root
+  }
+
   /** Write the fixture tree; returns the root. Idempotent and deterministic:
     * identical bytes on every call (GarGen is seeded, no wall clock). */
   def write(root: String): String = {
@@ -62,10 +73,13 @@ object GarFixture {
   }
 }
 
-/** CLI entry for tools/gen_ref_goldens.sh: write the fixture tree to args(0). */
+/** CLI entry for tools/gen_ref_goldens.sh: write the fixture tree to args(0).
+  * With "all-xsds" as args(1), also render an XSD for EVERY known entity —
+  * the reference `schema` subcommand parses all of them (schema.py:64-70). */
 object GarFixtureMain {
   def main(args: Array[String]): Unit = {
     val out = GarFixture.write(args(0))
+    if (args.length > 1 && args(1) == "all-xsds") GarFixture.writeAllXsds(out)
     println(s"fixture tree written to $out")
   }
 }

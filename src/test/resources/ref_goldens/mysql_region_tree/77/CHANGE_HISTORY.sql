@@ -1,6 +1,6 @@
 -- --------------------------------------------------------------------------------- --
 -- ru_address v2.2.1 -- get latest version at https://github.com/shadz3rg/ru_address --
--- generated at 2026-08-16 14:41:35.878237                                           --
+-- generated at 2026-08-16 18:49:06.382900                                           --
 -- --------------------------------------------------------------------------------- --
 
 /*!40101 SET @OLD_CHARACTER_SET_CLIENT=@@CHARACTER_SET_CLIENT */;

@@ -1,0 +1,14 @@
+-- --------------------------------------------------------------------------------- --
+-- ru_address v2.2.1 -- get latest version at https://github.com/shadz3rg/ru_address --
+-- generated at 2026-08-16 18:49:05.075760                                           --
+-- --------------------------------------------------------------------------------- --
+
+DROP TABLE IF EXISTS `ADDR_OBJ_DIVISION`;
+CREATE TABLE `ADDR_OBJ_DIVISION` (
+  `ID` Int64 NOT NULL COMMENT 'Уникальный идентификатор записи',
+  `PARENTID` Int64 NOT NULL COMMENT 'Родительский ID',
+  `CHILDID` Int64 NOT NULL COMMENT 'Дочерний ID',
+  `CHANGEID` Int64 NOT NULL COMMENT 'ID изменившей транзакции',
+  PRIMARY KEY (`ID`)
+) ENGINE = MergeTree COMMENT 'Fixture set for ADDR_OBJ_DIVISION'; 
+

@@ -1,0 +1,28 @@
+-- --------------------------------------------------------------------------------- --
+-- ru_address v2.2.1 -- get latest version at https://github.com/shadz3rg/ru_address --
+-- generated at 2026-08-16 18:49:04.783396                                           --
+-- --------------------------------------------------------------------------------- --
+
+DROP TABLE IF EXISTS "HOUSE_TYPES";
+CREATE TABLE "HOUSE_TYPES" (
+  "ID" integer NOT NULL,
+  "NAME" varchar(250) NOT NULL,
+  "SHORTNAME" varchar(50) NULL DEFAULT NULL,
+  "DESC" varchar(250) NULL DEFAULT NULL,
+  "UPDATEDATE" date NOT NULL,
+  "STARTDATE" date NOT NULL,
+  "ENDDATE" date NOT NULL,
+  "ISACTIVE" boolean NOT NULL,
+  PRIMARY KEY ("ID")
+);
+
+COMMENT ON TABLE "HOUSE_TYPES" IS 'Fixture set for HOUSE_TYPES';
+COMMENT ON COLUMN "HOUSE_TYPES"."ID" IS 'Идентификатор';
+COMMENT ON COLUMN "HOUSE_TYPES"."NAME" IS 'Наименование';
+COMMENT ON COLUMN "HOUSE_TYPES"."SHORTNAME" IS 'Краткое наименование';
+COMMENT ON COLUMN "HOUSE_TYPES"."DESC" IS 'Описание';
+COMMENT ON COLUMN "HOUSE_TYPES"."UPDATEDATE" IS 'Дата внесения (обновления) записи';
+COMMENT ON COLUMN "HOUSE_TYPES"."STARTDATE" IS 'Начало действия записи';
+COMMENT ON COLUMN "HOUSE_TYPES"."ENDDATE" IS 'Окончание действия записи';
+COMMENT ON COLUMN "HOUSE_TYPES"."ISACTIVE" IS 'Статус активности';
+

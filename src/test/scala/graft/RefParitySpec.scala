@@ -81,6 +81,49 @@ class RefParitySpec extends AnyFunSuite {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  // ----------------------------------------------------- schema subcommand
+
+  /** Fixture tree with an XSD for EVERY known entity — `ru_address schema`
+    * parses all of them up front (schema.py:64-70). */
+  private lazy val fixAllXsds: String =
+    GarFixture.writeAllXsds(GarFixture.write(tmp("garfix_xsd")))
+
+  test("parity: schema dir mode == reference XSLT output (mysql/psql/clickhouse)") {
+    // goldens produced by the UNMODIFIED `ru_address schema` running on the
+    // refshim's mini-XSLT interpreter (tools/refshim/lxml/_minixslt.py)
+    val outM = tmp("s_mysql")
+    Gar.schema(spark, fixAllXsds, outM, target = "mysql")
+    assertTreeEqual("schema_mysql_dir", outM)
+    val outP = tmp("s_psql")
+    Gar.schema(spark, fixAllXsds, outP, target = "psql")
+    assertTreeEqual("schema_psql_dir", outP)
+    val outC = tmp("s_ch")
+    Gar.schema(spark, fixAllXsds, outC, target = "clickhouse")
+    assertTreeEqual("schema_ch_dir", outC)
+  }
+
+  test("parity: schema file mode + --no-keys == reference XSLT output") {
+    val outF = tmp("s_mysql_file")
+    Gar.schema(spark, fixAllXsds, s"$outF/out.sql", target = "mysql")
+    assertTreeEqual("schema_mysql_file", outF)
+    val outNk = tmp("s_mysql_nokeys")
+    Gar.schema(spark, fixAllXsds, s"$outNk/out.sql", target = "mysql", noKeys = true)
+    assertTreeEqual("schema_mysql_nokeys", outNk)
+    val outPk = tmp("s_psql_nokeys")
+    Gar.schema(spark, fixAllXsds, s"$outPk/out.sql", target = "psql", noKeys = true)
+    assertTreeEqual("schema_psql_nokeys", outPk)
+  }
+
+  test("parity: schema RA_INCLUDE_DROP=0 + RA_TABLE_ENGINE=InnoDB == reference") {
+    import graft.sinks.Ddl
+    val out = tmp("s_mysql_nodrop")
+    Ddl.writeSchema(s"$out/out.sql", Ddl.MySql,
+      graft.model.SchemaRegistry.knownTables.map(_._1),
+      Ddl.Options(includeDrop = false, tableEngine = "InnoDB"),
+      Some(fixAllXsds), spark.sparkContext.hadoopConfiguration)
+    assertTreeEqual("schema_mysql_nodrop_innodb", out)
+  }
+
   // ------------------------------------------------- driver-streamed modes
 
   test("parity: mysql region_tree == reference CLI output") {

@@ -37,6 +37,29 @@ run_dump() { # name, extra-global-args..., then: target mode outpath(file|dir)
   if [ "$isdir" = dir ]; then cp -r "$dest/." "$GOLD/$name/"; else cp "$dest" "$GOLD/$name/out.sql"; fi
 }
 
+# schema goldens need an XSD for EVERY known entity (schema.py:64-70)
+FIXS=$(mktemp -d /tmp/garfixture_xsd.XXXX)
+java -cp "target/scala-2.13/classes:${SPARK_JARS}" graft.synth.GarFixtureMain "$FIXS" all-xsds
+
+run_schema() { # name outkind(file|dir), then the full command to run (src/dest appended)
+  local name=$1 isdir=$2; shift 2
+  local dest="$OUT/$name"
+  if [ "$isdir" = dir ]; then mkdir -p "$dest"; else dest="$OUT/$name.sql"; fi
+  "$@" "$FIXS" "$dest" > /dev/null
+  rm -rf "$GOLD/$name"; mkdir -p "$GOLD/$name"
+  if [ "$isdir" = dir ]; then cp -r "$dest/." "$GOLD/$name/"; else cp "$dest" "$GOLD/$name/out.sql"; fi
+}
+
+SCHEMA_CMD=(python3 -m ru_address.command schema)
+run_schema schema_mysql_dir  dir  "${SCHEMA_CMD[@]}" --target mysql
+run_schema schema_psql_dir   dir  "${SCHEMA_CMD[@]}" --target psql
+run_schema schema_ch_dir     dir  "${SCHEMA_CMD[@]}" --target ch
+run_schema schema_mysql_file file "${SCHEMA_CMD[@]}" --target mysql
+run_schema schema_mysql_nokeys file "${SCHEMA_CMD[@]}" --target mysql --no-keys
+run_schema schema_psql_nokeys  file "${SCHEMA_CMD[@]}" --target psql --no-keys
+run_schema schema_mysql_nodrop_innodb file \
+  env RA_INCLUDE_DROP=0 RA_TABLE_ENGINE=InnoDB "${SCHEMA_CMD[@]}" --target mysql
+
 run_dump mysql_region_tree mysql region_tree dir
 run_dump mysql_per_table  mysql per_table  dir
 run_dump mysql_per_region mysql per_region dir

@@ -49,14 +49,41 @@ def iterparse(source, events=("end",), tag=None):
 
 
 def parse(source):
-    return _ET.parse(source)
+    # capture namespace declarations (stdlib ET drops them after parse);
+    # the XSLT interpreter needs the stylesheet's prefix->URI map
+    data = source.read() if hasattr(source, "read") else open(source, "rb").read()
+    parser = _ET.XMLPullParser(events=("start-ns", "end"))
+    parser.feed(data)
+    parser.close()
+    nsmap, root = {}, None
+    for ev, payload in parser.read_events():
+        if ev == "start-ns":
+            prefix, uri = payload
+            nsmap.setdefault(prefix, uri)
+        else:
+            root = payload  # last 'end' event is the document root
+    tree = _ET.ElementTree(root)
+    tree._shim_nsmap = nsmap
+    return tree
 
 
 def fromstring(text):
     return _ET.fromstring(text)
 
 
-class XSLT:  # pragma: no cover - schema subcommand only
-    def __init__(self, *a, **k):
-        raise NotImplementedError(
-            "XSLT is not provided by the stdlib shim (dump path does not use it)")
+class XSLT:
+    """lxml.etree.XSLT equivalent for the subset the schema templates use
+    (tools/refshim/lxml/_minixslt.py — an XSLT-1.0-spec mini interpreter)."""
+
+    def __init__(self, stylesheet):
+        from . import _minixslt
+        self._impl = _minixslt.MiniXSLT(stylesheet)
+
+    def __call__(self, doc, **params):
+        return self._impl(doc, **params)
+
+    @staticmethod
+    def strparam(strval):
+        # the reference passes options['index'] = None when keys are off;
+        # map it to the XSLT param default (empty string)
+        return "" if strval is None else str(strval)
