@@ -322,18 +322,27 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("vec"))
       val corpus = emb.select(col("vec_id").as("tid"), col("embedding").as("vec"))
-      // cache each variant's result before the recall/count arithmetic —
-      // recall() runs two actions per call and brute is a cross join, so an
-      // uncached pipeline here recomputes the exact baseline ~4x
+      // cache each variant before the recall arithmetic (brute is a cross
+      // join — recomputing it per recall was 4x the query's cost in r2), and
+      // fold BOTH recalls into ONE tagged-union join job instead of two
+      // semi-join+count pairs: |want INTERSECT got| per method in one pass
       val brute = graft.operators.Similarity.bruteTopK(queries, corpus, k = 3).cache()
       val ann = graft.operators.Similarity.annTopK(queries, corpus, k = 3).cache()
       val ivf = graft.operators.Similarity.ivfTopK(queries, corpus, k = 3,
         kCentroids = 16, nProbe = 8, kmeansIters = 2).cache()
       try {
-        val r = graft.operators.Similarity.recall(ann, brute)
-        val rIvf = graft.operators.Similarity.recall(ivf, brute)
-        Seq((math.floor(r * 100).toLong, math.floor(rIvf * 100).toLong,
-          brute.count(), ann.count()))
+        val nExact = brute.count()
+        val nAnn = ann.count()
+        val hits = brute.select(col("qid"), col("tid"))
+          .join(
+            ann.select(col("qid"), col("tid")).withColumn("m", lit("ann"))
+              .unionByName(ivf.select(col("qid"), col("tid")).withColumn("m", lit("ivf"))),
+            Seq("qid", "tid"))
+          .groupBy("m").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        def pct(hit: Long) = if (nExact == 0) 100L
+          else math.floor(hit.toDouble / nExact * 100).toLong
+        Seq((pct(hits.getOrElse("ann", 0L)), pct(hits.getOrElse("ivf", 0L)), nExact, nAnn))
           .toDF("recall_pct", "ivf_recall_pct", "n_exact", "n_ann")
       } finally { brute.unpersist(); ann.unpersist(); ivf.unpersist() }
     }),

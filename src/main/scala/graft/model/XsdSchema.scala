@@ -114,11 +114,6 @@ object XsdSchema {
   def parse(in: java.io.InputStream): Definition =
     try parseDoc(newBuilder.parse(in)) finally in.close()
 
-  def parseFile(path: String): Definition = {
-    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
-    parse(in)
-  }
-
   def parseString(xsd: String): Definition =
     parseDoc(newBuilder.parse(new java.io.ByteArrayInputStream(xsd.getBytes("UTF-8"))))
 

@@ -96,13 +96,26 @@ object KnnJoin {
     var resultParts = List.empty[DataFrame]
 
     for (ringK <- ringSteps) {
+      // Escalation COARSENS the resolution instead of widening the ring: the
+      // target index is encoded ONCE at `res` (cached above); each stage
+      // derives its join key with grid_parent — pure bit math over the cached
+      // index, no per-stage re-encode — and covers ringK cells' radius with a
+      // ring of at most 2 coarser cells, so the candidate explode stays ~9
+      // cells instead of (2*ringK+1)^2.
+      val c = math.min(res - 1, 31 - Integer.numberOfLeadingZeros(math.max(1, ringK)))
+      val stageRes = res - c
+      val kEff = math.max(1, math.ceil(ringK.toDouble / (1 << c)).toInt)
       val safe2 = {
-        val s = ringK * SpatialJoin.minCellDimDeg(res)
+        val s = kEff * SpatialJoin.minCellDimDeg(stageRes)
         s * s
       }
+      val tStage =
+        if (c == 0) tSide
+        else tSide.withColumn("cell", gf.grid_parent(col("cell"), stageRes))
       val cand = remaining
-        .withColumn("cell", explode(gf.grid_kring(gf.grid_cell(col("lat"), col("lon"), res), ringK)))
-        .join(tSide, "cell")
+        .withColumn("cell",
+          explode(gf.grid_kring(gf.grid_cell(col("lat"), col("lon"), stageRes), kEff)))
+        .join(tStage, "cell")
       // cache the per-query top-k (small: <= |queries| * k rows) — it feeds
       // the certificate, the stage result AND the anti-join, and without the
       // cache the whole candidate window would be recomputed three times

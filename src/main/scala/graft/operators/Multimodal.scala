@@ -10,11 +10,14 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
  * columns with typed metadata, processed in batch-shaped per-partition
  * operators (the Scala analog of `mapInPandas` batches).
  *
- * The codec step is STUBBED (no image/audio libraries ship in this sandbox):
- * `decodeStub` parses a deterministic fake header instead of invoking a real
- * decoder — the Spark-side plumbing (schema, binary transport, partitioning,
- * batch iteration, output shape) is real and tested. Swap `decodeStub`'s body
- * for an actual codec (e.g. javax.imageio / ffmpeg bindings) in production.
+ * IMAGES decode for REAL: `decodeImage` sniffs PNG/JPEG magic and reads the
+ * header through `javax.imageio` (ships in the JDK — java.desktop), using
+ * ImageReader.getWidth/getHeight so only the header is parsed, never the
+ * pixels — the correct shape for a 100 TB metadata pass. Audio/video stay
+ * STUBBED (`decodeStub` parses a deterministic fake header — no codec libs in
+ * this sandbox); the Spark-side plumbing (schema, binary transport,
+ * partitioning, batch iteration, output shape) is identical and tested for
+ * both arms. Swap `decodeStub` for ffmpeg bindings in production.
  */
 object Multimodal {
 
@@ -33,13 +36,44 @@ object Multimodal {
 
   case class Decoded(kind: String, width: Int, height: Int, frames: Int, bodyLen: Int)
 
-  /** ??? in production — a real image/audio decoder goes here. The stub reads
-    * the deterministic fake header. */
+  /** ??? in production for audio/video — a real codec goes here. The stub
+    * reads the deterministic fake header. */
   def decodeStub(payload: Array[Byte]): Decoded = {
     val buf = java.nio.ByteBuffer.wrap(payload)
     val kind = buf.get() match { case 1 => "image"; case 2 => "audio"; case 3 => "video"; case _ => "unknown" }
     Decoded(kind, buf.getInt, buf.getInt, buf.getInt, payload.length - 13)
   }
+
+  /** REAL image decode (PNG/JPEG) via the JDK's javax.imageio: magic-sniff,
+    * then header-only width/height through an ImageReader — the pixel data is
+    * never decompressed (a metadata pass over 100 TB of images must not
+    * decode pixels). None = not an image payload (fall through to the stub). */
+  def decodeImage(payload: Array[Byte]): Option[Decoded] = {
+    val isPng = payload.length > 8 &&
+      (payload(0) & 0xFF) == 0x89 && payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
+    val isJpeg = payload.length > 3 &&
+      (payload(0) & 0xFF) == 0xFF && (payload(1) & 0xFF) == 0xD8 && (payload(2) & 0xFF) == 0xFF
+    if (!isPng && !isJpeg) None
+    else {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some(Decoded("image", r.getWidth(0), r.getHeight(0), 1, payload.length))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    }
+  }
+
+  /** Codec seam: real image decode first, deterministic stub otherwise. */
+  def decodePayload(payload: Array[Byte]): Decoded =
+    decodeImage(payload).getOrElse(decodeStub(payload))
 
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", StringType, nullable = false),
@@ -60,7 +94,7 @@ object Multimodal {
     import spark.implicits._
     df.select(col("media_id"), col("payload")).as[(String, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
-        val d = decodeStub(payload)
+        val d = decodePayload(payload)
         DecodedRow(id, d.kind, d.width, d.height, d.frames, d.bodyLen)
       })
       .toDF()
@@ -100,17 +134,38 @@ object Multimodal {
       .toDF("media_id", "feature")
   }
 
-  /** Synthetic media table generator (deterministic, typed range — no RDD). */
+  /** A real, deterministic PNG payload (encoded via the JDK's ImageIO). */
+  def makePngPayload(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = seed // one deterministic scanline is enough to vary the bytes
+    var x = 0
+    while (x < width) { s = Rng.splitmix64(s); img.setRGB(x, 0, (s & 0xFFFFFF).toInt); x += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic media table generator (deterministic, typed range — no RDD).
+    * Image rows carry REAL PNGs (exercising the javax.imageio decode arm
+    * end-to-end); audio/video rows carry the deterministic fake payloads. */
   def synthMedia(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     spark.range(0, n.toLong, 1, math.max(1, n / 250)).as[Long]
       .map { iL =>
         val i = iL.toInt
         val kind = Seq("image", "audio", "video")(i % 3)
-        val w = 64 + Rng.uniformInt(1000L + i, 4000)
-        val h = 64 + Rng.uniformInt(2000L + i, 3000)
-        val frames = if (kind == "video") 10 + Rng.uniformInt(3000L + i, 500) else 1
-        (f"M$i%06d", makePayload(kind, w, h, frames, 4000L + i, 64 + i % 128))
+        val payload = kind match {
+          case "image" => // spread across the 512 resize boundary
+            makePngPayload(64 + Rng.uniformInt(1000L + i, 640),
+              64 + Rng.uniformInt(2000L + i, 480), 4000L + i)
+          case _ =>
+            val w = 64 + Rng.uniformInt(1000L + i, 4000)
+            val h = 64 + Rng.uniformInt(2000L + i, 3000)
+            val frames = if (kind == "video") 10 + Rng.uniformInt(3000L + i, 500) else 1
+            makePayload(kind, w, h, frames, 4000L + i, 64 + i % 128)
+        }
+        (f"M$i%06d", payload)
       }
       .toDF("media_id", "payload")
   }

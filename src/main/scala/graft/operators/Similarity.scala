@@ -81,25 +81,58 @@ object Similarity {
       .map(_.getSeq[Float](0).toArray)
   }
 
+  /** Element-wise (sum, count) accumulator for centroid means: a typed
+    * Aggregator, so Spark runs it as a PARTIAL + final aggregation — each
+    * task combines its vectors locally and only K (dim-length sum, count)
+    * rows cross the shuffle, never the vectors themselves. (The previous
+    * posexplode + double-groupBy shape shuffled N*dim rows per iteration.) */
+  private class VecMeanAgg extends org.apache.spark.sql.expressions.Aggregator[
+      (Int, Seq[Float]), (Array[Double], Long), Seq[Double]] {
+    override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+    override def reduce(b: (Array[Double], Long), a: (Int, Seq[Float])): (Array[Double], Long) = {
+      val acc = if (b._1.isEmpty) new Array[Double](a._2.length) else b._1
+      var i = 0
+      while (i < acc.length) { acc(i) += a._2(i); i += 1 }
+      (acc, b._2 + 1)
+    }
+    override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+      if (x._1.isEmpty) y
+      else if (y._1.isEmpty) x
+      else {
+        var i = 0
+        while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
+        (x._1, x._2 + y._2)
+      }
+    }
+    override def finish(r: (Array[Double], Long)): Seq[Double] =
+      if (r._2 == 0) Seq.empty else r._1.toSeq.map(_ / r._2)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   /** One-or-more Lloyd (k-means) refinement iterations over the coarse
     * quantizer, fully distributed: assign every corpus vector to its nearest
     * centroid (IvfProbes expression, no shuffle), then recompute centroids
-    * as per-dimension means (one partial+final aggregation per iteration).
-    * Empty clusters keep their previous centroid. Driver holds only the
-    * K x dim matrix. */
+    * via the partial-aggregating VecMeanAgg (one shuffle of K combined rows
+    * per iteration). Empty clusters keep their previous centroid. Driver
+    * holds only the K x dim matrix. */
   def refineCentroids(corpus: DataFrame, cents: Array[Array[Float]],
       iterations: Int = 1): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     var current = cents
     for (_ <- 1 to iterations) {
       val means = corpus
         .select(element_at(gf.ivf_probes(col("vec"), current, 1), 1).as("cid"),
-          posexplode(col("vec")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s("m")).as("mean"))
+          col("vec"))
+        .as[(Int, Seq[Float])]
+        .groupByKey(_._1)
+        .agg(new VecMeanAgg().toColumn.name("mean"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toArray)
+        .collect { case (cid, mean) if mean.nonEmpty =>
+          cid -> mean.map(_.toFloat).toArray }
         .toMap
       current = current.indices.map(i => means.getOrElse(i, current(i))).toArray
     }

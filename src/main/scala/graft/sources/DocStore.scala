@@ -2,8 +2,9 @@ package graft.sources
 
 import graft.model.Doc
 import graft.synth.DataGen
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
-import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
 
 /**
  * Iceberg-shaped canonical document store on Parquet.
@@ -25,11 +26,18 @@ object DocStore {
 
   def path(sf: Double): String = s"target/synth/sf$sf/documents"
 
-  /** Idempotent: generate + write the sf-scale doc table if absent. */
+  /** Idempotent: generate + write the sf-scale doc table if absent.
+    * Hadoop FS throughout (like Lineage/DumpJob) — the store works on
+    * HDFS/S3 paths, not just the local FS. */
   def ensure(spark: SparkSession, sf: Double): String = {
     val p = path(sf)
-    if (!Files.exists(Paths.get(p, "_SUCCESS"))) synchronized {
-      if (!Files.exists(Paths.get(p, "_SUCCESS"))) {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def done = {
+      val marker = new Path(p, "_SUCCESS")
+      marker.getFileSystem(conf).exists(marker)
+    }
+    if (!done) synchronized {
+      if (!done) {
         val docs = DataGen.documents(spark, sf)
         // Hot-region skew handling at the storage layer: region 77 carries
         // 20x the rows; without salting it lands in one file whose single
@@ -64,7 +72,24 @@ object DocStore {
          |  "partition_spec": ["region"],
          |  "partitions": $body
          |}""".stripMargin
-    Files.writeString(Paths.get(p, "_manifest.json"), json)
+    val mp = new Path(p, "_manifest.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Parse the snapshot manifest back: region -> row count. */
+  def readManifest(spark: SparkSession, p: String): Map[String, Long] = {
+    val mp = new Path(p, "_manifest.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(mp)
+    val json = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      new String(bos.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    """\{"region": "(\d+)", "rows": (\d+)\}""".r.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
   }
 
   /** Partition-pruned read: Catalyst prunes to the listed region dirs

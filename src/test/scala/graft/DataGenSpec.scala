@@ -86,8 +86,17 @@ class DataGenSpec extends AnyFunSuite {
     val direct = DataGen.documents(spark, 0.0005).collect().sortBy(_.doc_id)
     val stored = all.collect().sortBy(_.doc_id)
     assert(direct.zip(stored).forall { case (x: Doc, y: Doc) => x == y })
-    // manifest exists and lists all regions
-    val manifest = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p, "_manifest.json")))
-    assert(SynthGeo.Regions.forall(r => manifest.contains(s""""$r"""")))
+    // manifest round-trips through the Hadoop FS API (HDFS/S3-safe) and its
+    // per-region counts equal the store's actual counts
+    val manifest = DocStore.readManifest(spark, p)
+    assert(SynthGeo.Regions.forall(manifest.contains))
+    val actual = all.toDF().groupBy("region").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(manifest == actual)
+    // and the store works when addressed through an explicit Hadoop Path
+    val hp = new org.apache.hadoop.fs.Path(p).getFileSystem(
+      spark.sparkContext.hadoopConfiguration).makeQualified(new org.apache.hadoop.fs.Path(p))
+    assert(DocStore.readManifest(spark, hp.toString) == manifest)
+    assert(DocStore.readDf(spark, hp.toString).count() == all.count())
   }
 }

@@ -216,4 +216,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       .where($"media_id" === "M000001").collect()(0).getSeq[Float](1)
     assert(f1 == f2)
   }
+
+  test("multimodal: REAL image decode via javax.imageio (checked-in PNG + synth PNGs)") {
+    // a real PNG fixture produced outside the engine: header-only decode must
+    // report its true dimensions
+    val png = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/media/fixture_37x23.png"))
+    val d = Multimodal.decodeImage(png).get
+    assert((d.kind, d.width, d.height, d.frames) == ("image", 37, 23, 1))
+    assert(d.bodyLen == png.length)
+    // non-image payloads fall through to the stub seam
+    val fake = Multimodal.makePayload("audio", 100, 1, 1, 7L, 32)
+    assert(Multimodal.decodeImage(fake).isEmpty)
+    assert(Multimodal.decodePayload(fake).kind == "audio")
+    // the distributed decode path reads real PNG headers for image rows
+    val media = Multimodal.synthMedia(spark, 30)
+    val viaSpark = Multimodal.decode(media)
+      .where($"kind" === "image").select("media_id", "width", "height")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(viaSpark.nonEmpty)
+    // dims must equal the generator's (independent recomputation)
+    for ((id, w, h) <- viaSpark) {
+      val i = id.drop(1).toInt
+      assert(w == 64 + graft.geo.Rng.uniformInt(1000L + i, 640), id)
+      assert(h == 64 + graft.geo.Rng.uniformInt(2000L + i, 480), id)
+    }
+  }
 }
