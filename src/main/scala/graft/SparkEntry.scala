@@ -387,6 +387,15 @@ object SparkEntry {
       rows.toDF("dialect", "n_tables", "n_chars", "fnv64")
     }),
 
+    "q_stream_batch_parity" -> ((s, dir) => {
+      // incremental streaming ingest must equal the reference's re-dump-from-
+      // scratch batch semantics row for row (DeltaStream.replayParity); the
+      // oracle pins the deterministic counts and diff == 0
+      import s.implicits._
+      val (nStream, nBatch, nDiff) = graft.streaming.DeltaStream.replayParity(s)
+      Seq((nStream, nBatch, nDiff)).toDF("n_stream", "n_batch", "n_diff")
+    }),
+
     "q_knn_addresses" -> ((s, dir) => {
       // kNN of document anchors against the address-point table (synth world).
       // 1-in-5 sample keyed on the doc SEQUENCE number (arithmetic, so the
@@ -611,6 +620,10 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS exact, true AS within_tol
         |FROM lineitem""".stripMargin,
+
+    "q_stream_batch_parity" ->
+      """SELECT CAST(200 AS BIGINT) AS n_stream, CAST(200 AS BIGINT) AS n_batch,
+        |  CAST(0 AS BIGINT) AS n_diff""".stripMargin,
 
     "q_knn_addresses" ->
       """WITH q AS (

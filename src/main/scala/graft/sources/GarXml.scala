@@ -97,6 +97,14 @@ object GarXml {
    * entities, numeric character references, and XML attribute-value
    * whitespace normalization (literal tab/newline/CR -> space), matching what
    * a conforming parser (lxml in the reference, StAX here) produces.
+   *
+   * Comments / CDATA / DOCTYPE: any such construct that STARTS inside the
+   * scanned range is skipped wholesale, so `<tag` text within it cannot emit
+   * phantom rows (whole-file scans are therefore fully comment/CDATA-safe).
+   * Residual precondition, split scans only: a construct spanning a chunk
+   * boundary is invisible to the task that starts inside it — byte-range
+   * splitting of XML fundamentally requires that (GAR deliveries are
+   * machine-generated attribute-only rows; they contain neither).
    */
   private[sources] def scanElements(in: java.io.InputStream, start: Long, end: Long,
       tag: String): Iterator[RawElem] = {
@@ -108,6 +116,19 @@ object GarXml {
       private var done = false
 
       private def readByte(): Int = { val b = bin.read(); if (b >= 0) pos += 1; b }
+
+      /** Skip until the 3-byte terminator abc appears (sliding window, so
+        * overlapping prefixes like "]]]>" terminate correctly). */
+      private def skipUntil3(a: Int, b: Int, c: Int): Boolean = {
+        var x = -1; var y = -1
+        while (true) {
+          val z = readByte()
+          if (z < 0) { done = true; bin.close(); return false }
+          if (x == a && y == b && z == c) return true
+          x = y; y = z
+        }
+        false
+      }
 
       private def advance(): Unit = {
         nextElem = null
@@ -127,6 +148,21 @@ object GarXml {
                 if (elemStart >= end) { done = true; bin.close(); return }
                 nextElem = RawElem(elemStart, parseAttrs(d))
               }
+            }
+          } else if (matched == 1 && b == '!') {
+            // "<!" opens a comment, CDATA section or DOCTYPE — skip it whole
+            // so "<tag" text inside can't emit phantom rows
+            matched = 0
+            readByte() match {
+              case '-' => // <!-- ... -->   (second '-' consumed by the window)
+                if (!skipUntil3('-', '-', '>')) return
+              case '[' => // <![CDATA[ ... ]]>
+                if (!skipUntil3(']', ']', '>')) return
+              case '>' => // degenerate "<!>"
+              case _ => // <!DOCTYPE ...> (no internal subset in GAR files)
+                var z = 0
+                while ({ z = readByte(); z >= 0 && z != '>' }) ()
+                if (z < 0) { done = true; bin.close(); return }
             }
           } else matched = if (b == pat(0)) 1 else 0
         }

@@ -81,4 +81,59 @@ object DeltaStream {
       .partitionBy("region")
       .format("parquet")
       .option("path", outPath)
+
+  private val deltaDdl =
+    "change_id LONG, region STRING, doc_id STRING, addr_text STRING, ts TIMESTAMP"
+
+  /**
+   * Streaming-vs-batch parity harness (the reference's re-dump semantics:
+   * every delivery recomputes the store from scratch, CHANGE_HISTORY
+   * core.py:16,55 — the engine ingests deltas incrementally instead, and the
+   * two must land the IDENTICAL row set):
+   * replay `drops` deterministic delta drops — re-delivering every 5th change
+   * of the previous drop, byte-identical — through the full streaming path
+   * (file source -> watermarked dedupe -> partitioned store sink), then
+   * recompute the same store in one batch pass over the same files.
+   *
+   * @return (n_stream, n_batch, n_diff) where n_diff counts rows on exactly
+   *         one side (multiset exceptAll, both directions) — 0 means parity.
+   */
+  def replayParity(spark: SparkSession, nChanges: Int = 200, drops: Int = 3): (Long, Long, Long) = {
+    import spark.implicits._
+    val baseTs = java.sql.Timestamp.valueOf("2021-06-01 00:00:00").getTime
+    def mk(i: Int) = DocDelta(i.toLong, f"${(i % 5) * 19 + 1}%02d", f"D$i%05d",
+      s"ул. Тестовая, д. $i", new java.sql.Timestamp(baseTs + i * 1000L))
+    val dropSeqs = (1 to nChanges).map(mk).grouped(
+      (nChanges + drops - 1) / drops).toSeq
+    val withDups = dropSeqs.zipWithIndex.map { case (d, idx) =>
+      if (idx == 0) d else d ++ dropSeqs(idx - 1).filter(_.change_id % 5 == 0)
+    }
+
+    val root = java.nio.file.Files.createTempDirectory("stream_parity")
+    val watch = root.resolve("watch"); java.nio.file.Files.createDirectories(watch)
+    for ((d, idx) <- withDups.zipWithIndex) {
+      val tmp = root.resolve(s"tmp$idx").toString
+      d.toDF().coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, watch.resolve(s"drop$idx.parquet"))
+    }
+
+    val outPath = root.resolve("store").toString
+    val q = writeToStore(
+      dedupedChanges(readDeltaDrops(spark, watch.toString)),
+      outPath, root.resolve("ckpt").toString).start()
+    try q.processAllAvailable() finally q.stop()
+
+    // explicit schema on BOTH reads: partition-dir inference would corrupt
+    // the zero-padded region key ("01" -> 1)
+    val stream = spark.read.schema(deltaDdl).parquet(outPath)
+      .select("change_id", "region", "doc_id", "addr_text", "ts").cache()
+    val batch = spark.read.schema(deltaDdl).parquet(watch.toString)
+      .dropDuplicates("change_id")
+      .select("change_id", "region", "doc_id", "addr_text", "ts").cache()
+    try {
+      val diff = stream.exceptAll(batch).count() + batch.exceptAll(stream).count()
+      (stream.count(), batch.count(), diff)
+    } finally { stream.unpersist(); batch.unpersist() }
+  }
 }

@@ -116,6 +116,33 @@ class GarXmlSpec extends AnyFunSuite {
     assert(viaStax(1).getString(1) == "Село & co")
   }
 
+  test("scanner skips comments / CDATA / DOCTYPE: no phantom rows from '<TAG' text inside them") {
+    val schema = SchemaRegistry.schemaOf("HOUSE_TYPES")
+    // fake elements hidden in a comment, a CDATA section (with the tricky
+    // "]]]>" overlap), and a DOCTYPE; the two real rows must be the only ones
+    val xml =
+      "<?xml version=\"1.0\" encoding=\"utf-8\"?>\n" +
+        "<!DOCTYPE HOUSETYPES SYSTEM \"housetypes <HOUSETYPE fake>\">\n" +
+        "<HOUSETYPES>\n" +
+        "  <!-- <HOUSETYPE ID=\"99\" NAME=\"phantom\" UPDATEDATE=\"2021-01-01\" " +
+        "STARTDATE=\"2021-01-01\" ENDDATE=\"2079-06-06\" ISACTIVE=\"true\"/> -->\n" +
+        "  <HOUSETYPE ID=\"1\" NAME=\"real\" UPDATEDATE=\"2021-01-01\" " +
+        "STARTDATE=\"2021-01-01\" ENDDATE=\"2079-06-06\" ISACTIVE=\"true\" />\n" +
+        "  <DESCRIPTION><![CDATA[x]]<HOUSETYPE ID=\"98\" NAME=\"phantom2\"/>]]]></DESCRIPTION>\n" +
+        "  <!----><HOUSETYPE ID=\"2\" NAME=\"real2\" UPDATEDATE=\"2021-01-02\" " +
+        "STARTDATE=\"2021-01-02\" ENDDATE=\"2079-06-06\" ISACTIVE=\"false\"></HOUSETYPE>\n" +
+        "</HOUSETYPES>\n"
+    val bytes = xml.getBytes(StandardCharsets.UTF_8)
+    val root = Files.createTempDirectory("gar_comments").toString
+    Files.write(Paths.get(root, "AS_HOUSE_TYPES_2_c.xml"), bytes)
+    // whole-file scan (chunk >= file) is fully comment/CDATA-safe
+    val got = GarXml.read(spark, root, "HOUSE_TYPES", chunkBytes = 1 << 20)
+      .orderBy("ord").collect()
+    assert(got.length == 2, got.toSeq)
+    assert(got.map(_.getAs[Int]("ID")).toSeq == Seq(1, 2))
+    assert(got.map(_.getAs[String]("NAME")).toSeq == Seq("real", "real2"))
+  }
+
   test("discovery errors: zero or multiple matches") {
     val root = Files.createTempDirectory("gar_glob").toString
     intercept[java.io.FileNotFoundException] {

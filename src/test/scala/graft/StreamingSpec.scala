@@ -106,4 +106,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(stored.select("change_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
     assert(stored.where(col("region") === "77").count() == 2)
   }
+
+  test("streaming replay == batch recompute (reference re-dump semantics)") {
+    // full e2e: deterministic drops with byte-identical re-deliveries through
+    // file source -> watermarked dedupe -> partitioned store, vs one batch
+    // pass over the same files — identical row multiset required
+    val (nStream, nBatch, nDiff) = DeltaStream.replayParity(spark, nChanges = 120, drops = 4)
+    assert(nStream == 120L, s"stream rows: $nStream")
+    assert(nBatch == 120L, s"batch rows: $nBatch")
+    assert(nDiff == 0L, s"rows differing between stream and batch: $nDiff")
+  }
 }
