@@ -323,6 +323,26 @@ case class IvfProbes(child: Expression, centroids: Array[Array[Float]], nProbe: 
   override def prettyName: String = "ivf_probes"
 }
 
+/** Sorted distinct FNV-64 shingle hashes of a string — the once-per-document
+  * half of pairwise Jaccard (TextAlgos.shingleHashes). */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryG("shingleHashes", ArrayType(LongType, containsNull = false),
+      StringType, IntegerType) {
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    G.shingleHashes(a.asInstanceOf[UTF8String], b.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
+/** Jaccard of two SORTED long arrays (merge-count; pairs with ShingleHashes). */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryG("jaccardSorted", DoubleType,
+      ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false)) {
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    G.jaccardSorted(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+}
+
 /** Exact character-n-gram Jaccard similarity of two strings. */
 case class NgramJaccard(first: Expression, second: Expression, third: Expression)
     extends TernaryG("ngramJaccard", DoubleType, StringType, StringType, IntegerType) {

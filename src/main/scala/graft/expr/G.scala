@@ -162,6 +162,12 @@ object G {
   def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double =
     TextAlgos.jaccard(TextAlgos.shingles(a.toString, n), TextAlgos.shingles(b.toString, n))
 
+  def shingleHashes(a: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(TextAlgos.shingleHashes(a.toString, n))
+
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double =
+    TextAlgos.jaccardSorted(a.toLongArray(), b.toLongArray())
+
   /** IVF probe list: indices of the nProbe nearest centroids by float cosine
     * (score desc, index asc). The centroid matrix is passed BY REFERENCE —
     * one object per plan, not K*dim literal nodes (literal-tree centroids

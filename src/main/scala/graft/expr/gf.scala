@@ -119,6 +119,15 @@ object gf {
   def ngram_jaccard(a: Column, b: Column, n: Int): Column =
     column(NgramJaccard(s(a), s(b), i(n)))
 
+  def shingle_hashes(a: Column, n: Int): Column =
+    column(ShingleHashes(s(a), i(n)))
+
+  // no Cast here: a nullability-widening Cast on array<long> deep-copies the
+  // array PER PAIR in the verification hot loop (same defect class as the
+  // round-1 ring-copy find); inputs come from shingle_hashes already typed
+  def jaccard_sorted(a: Column, b: Column): Column =
+    column(JaccardSorted(expression(a), expression(b)))
+
   def ivf_probes(v: Column, centroids: Array[Array[Float]], nProbe: Int): Column =
     column(IvfProbes(Cast(expression(v), FloatsT), centroids, nProbe))
 
@@ -164,5 +173,7 @@ object gf {
     r("vec_sig") { e => VecSig(Cast(e(0), ArrayType(FloatType, containsNull = true)), ci(e(1))) }
     r("sig_bands") { e => SigBands(cl(e(0)), ci(e(1)), ci(e(2))) }
     r("ngram_jaccard") { e => NgramJaccard(cs(e(0)), cs(e(1)), ci(e(2))) }
+    r("shingle_hashes") { e => ShingleHashes(cs(e(0)), ci(e(1))) }
+    r("jaccard_sorted") { e => JaccardSorted(Cast(e(0), LongsT), Cast(e(1), LongsT)) }
   }
 }

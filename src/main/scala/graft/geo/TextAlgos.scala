@@ -47,6 +47,46 @@ object TextAlgos {
     inter.toDouble / (a.size + b.size - inter)
   }
 
+  /** Distinct FNV-64 hashes of the character n-gram shingles, SORTED — the
+    * per-document form of `shingles`: computed once per doc, pair-level
+    * Jaccard then reduces to an allocation-free sorted-merge intersection
+    * (`jaccardSorted`). Semantics match `shingles`+`jaccard` up to 64-bit
+    * hash collisions (~1e-14 per 300-shingle doc). */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    if (text.isEmpty) return Array.empty
+    if (text.length < n) return Array(fnv1a64(text))
+    val out = new Array[Long](text.length - n + 1)
+    var i = 0
+    while (i + n <= text.length) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + n) { h ^= text.charAt(j).toLong; h *= 0x100000001b3L; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // dedupe in place (sorted)
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
+  }
+
+  /** Jaccard of two SORTED distinct long arrays by merge-count. */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
   /** 64-bit FNV-1a — stable cross-run hash used by MinHash/SimHash/fingerprint. */
   def fnv1a64(s: String): Long = {
     var h = 0xcbf29ce484222325L

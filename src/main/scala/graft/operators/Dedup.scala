@@ -42,9 +42,33 @@ object Dedup {
    *   bounded work, the standard LSH-at-scale practice). 0 = unlimited
    *   (exact LSH semantics; the spec-pinned default).
    */
+  /** Join the candidate pairs back to a per-side lookup table. Default:
+    * EXPLICIT broadcast — the lookup (candidate participants only) is tiny
+    * next to the corpus, but Catalyst can't see that (it sits behind a
+    * broadcast semi-join with no shuffle boundary, so no runtime stats; the
+    * estimate falls back to the full corpus -> SortMergeJoin, and AQE then
+    * coalesces the id-only pair shuffle to ~1 partition while the post-join
+    * rows balloon by the payload width: measured 72 s vs 4.5 s at the
+    * 100k-doc soak). `broadcastVerify = false` is the escape hatch for
+    * corpora whose candidate set itself is beyond broadcast: it spreads the
+    * pairs across the full shuffle width BEFORE the fat join so AQE's
+    * pre-join byte estimate can't serialize the inflated output. */
+  private def verifyJoin(candidates: DataFrame, lookup: DataFrame,
+      broadcastVerify: Boolean): DataFrame = {
+    val aSide = lookup.toDF(lookup.columns.map(c => s"${c}_a"): _*)
+    val bSide = lookup.toDF(lookup.columns.map(c => s"${c}_b"): _*)
+    if (broadcastVerify)
+      candidates.join(broadcast(aSide), "id_a").join(broadcast(bSide), "id_b")
+    else {
+      val n = candidates.sparkSession.sessionState.conf.numShufflePartitions
+      candidates.repartition(n, col("id_a")).join(aSide, "id_a").join(bSide, "id_b")
+    }
+  }
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      tau: Double = 0.7, maxBandSize: Int = 0): DataFrame = {
+      tau: Double = 0.7, maxBandSize: Int = 0,
+      broadcastVerify: Boolean = true): DataFrame = {
     val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val sig = docs
       .select(col("id"),
@@ -65,15 +89,18 @@ object Dedup {
     // verification re-join, corpus-scale shape: first semi-join the corpus
     // down to only docs that appear in ANY candidate pair (candidate ids are
     // tiny next to the corpus -> AQE broadcasts the semi side; full texts are
-    // never shuffled), then the two per-side joins run against that small set
+    // never shuffled). Shingle sets are computed ONCE PER DOC as sorted hash
+    // arrays — pair-level Jaccard is then an allocation-free merge-count
+    // (building two shingle SETS per pair made a 180k-pair degenerate
+    // boilerplate cluster cost 130 s at the 100k-doc soak; per-doc hashing
+    // is the per-pair-O(|shingles|) shape that survives quadratic cliques).
     val candidateIds = candidates.select(col("id_a").as("id"))
       .unionByName(candidates.select(col("id_b").as("id")))
       .distinct()
     val needed = docs.join(candidateIds, Seq("id"), "left_semi")
-    candidates
-      .join(needed.select(col("id").as("id_a"), col("text").as("text_a")), "id_a")
-      .join(needed.select(col("id").as("id_b"), col("text").as("text_b")), "id_b")
-      .withColumn("jaccard", gf.ngram_jaccard(col("text_a"), col("text_b"), shingleN))
+      .select(col("id"), gf.shingle_hashes(col("text"), shingleN).as("sh"))
+    verifyJoin(candidates, needed, broadcastVerify)
+      .withColumn("jaccard", gf.jaccard_sorted(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -133,7 +160,8 @@ object Dedup {
    * generation) + exact quantised-cosine verification.
    */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-      minCos: Double = 0.95, bits: Int = 16, bands: Int = 4): DataFrame = {
+      minCos: Double = 0.95, bits: Int = 16, bands: Int = 4,
+      broadcastVerify: Boolean = true): DataFrame = {
     // same shuffle discipline as minhashLshPairs: ids-only through the band
     // join and the pair-distinct; quantized vectors re-joined once per unique
     // pair for the exact verification
@@ -151,9 +179,7 @@ object Dedup {
       .unionByName(candidates.select(col("id_b").as("id")))
       .distinct()
     val needed = vecs.join(candidateIds, Seq("id"), "left_semi")
-    candidates
-      .join(needed.select(col("id").as("id_a"), col("q").as("q_a")), "id_a")
-      .join(needed.select(col("id").as("id_b"), col("q").as("q_b")), "id_b")
+    verifyJoin(candidates, needed, broadcastVerify)
       .withColumn("cos", gf.vec_cos_q(col("q_a"), col("q_b")))
       .where(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))

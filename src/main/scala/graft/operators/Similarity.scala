@@ -43,7 +43,7 @@ object Similarity {
     * semi-joined down to candidate participants (tiny next to the corpus,
     * so AQE broadcasts them). */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      bits: Int = 16, bands: Int = 8): DataFrame = {
+      bits: Int = 16, bands: Int = 8, broadcastVerify: Boolean = true): DataFrame = {
     val qVec = queries.select(col("qid"), gf.vec_quantize(col("vec")).as("q_q"))
     val cVec = corpus.select(col("tid"), gf.vec_quantize(col("vec")).as("q_t"))
     val qBand = queries.select(col("qid"),
@@ -55,10 +55,22 @@ object Similarity {
       .distinct()
     val qNeeded = qVec.join(candidates.select(col("qid")).distinct(), Seq("qid"), "left_semi")
     val tNeeded = cVec.join(candidates.select(col("tid")).distinct(), Seq("tid"), "left_semi")
+    // explicit broadcast of the re-rank lookups: they sit behind broadcast
+    // semi-joins (no shuffle boundary -> no runtime stats), so Catalyst
+    // falls back to corpus-sized estimates and plans SMJ over the inflating
+    // pair rows (see Dedup.verifyJoin). broadcastVerify=false = the spread
+    // fallback for candidate-participant sets beyond broadcast size.
+    val (qSide, tSide) =
+      if (broadcastVerify) (broadcast(qNeeded), broadcast(tNeeded))
+      else (qNeeded, tNeeded)
+    val spread =
+      if (broadcastVerify) candidates
+      else candidates.repartition(
+        candidates.sparkSession.sessionState.conf.numShufflePartitions, col("qid"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("tid"))
-    candidates
-      .join(qNeeded, "qid")
-      .join(tNeeded, "tid")
+    spread
+      .join(qSide, "qid")
+      .join(tSide, "tid")
       .withColumn("cos", gf.vec_cos_q(col("q_q"), col("q_t")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)

@@ -111,6 +111,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected an (id_a,id_b)-only distinct in:\n$optimized")
   }
 
+  test("dedup verification joins broadcast the participant lookups (no SMJ over inflating pairs)") {
+    // the lookup sides sit behind broadcast semi-joins (no runtime stats), so
+    // without the explicit hint Catalyst plans SortMergeJoin and AQE sizes
+    // partitions on the id-only bytes while post-join rows balloon by the
+    // payload width (measured 72 s vs 4.5 s at the 100k-doc soak)
+    val docs = Seq(("1", "aaaa bbbb cccc"), ("2", "aaaa bbbb cccd"), ("3", "zzzz"))
+      .toDF("doc_id", "text")
+    val plan = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", tau = 0.5)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("ANN top-k: no shuffle carries quantised vectors through band join or candidate-distinct") {
     // same 100 TB discipline as the minhash gate: the band equi-join's inputs
     // are ids-only and the candidate distinct groups ONLY (qid, tid); the
