@@ -108,13 +108,15 @@ object ScaleSoak {
     // collide on ~6% of 5e9 pairs at 100k vectors -> ~1e9 candidates; 16-bit
     // bands collide on ~1.5e-5 of them). The bits/bands knobs exist for
     // exactly this; small-scale defaults are pinned by the specs.
+    val (pBits, pBands) = graft.operators.Similarity.lshPlan(nVecs, bands = 4)
     timed("embedding_pairs_full") {
       graft.operators.Dedup.embeddingPairs(emb, "vec_id", "embedding",
-        minCos = 0.95, bits = 64, bands = 4).count()
+        minCos = 0.95, bits = pBits, bands = pBands).count()
     }
+    val (aBits, aBands) = graft.operators.Similarity.lshPlan(nVecs, bands = 8)
     timed("ann_topk") {
       graft.operators.Similarity.annTopK(queries, corpus, k = 10,
-        bits = 64, bands = 8).count()
+        bits = aBits, bands = aBands).count()
     }
     timed("ivf_topk_kmeans1") {
       graft.operators.Similarity.ivfTopK(queries, corpus, k = 10,

@@ -19,6 +19,21 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  /**
+   * Corpus-size-aware hyperplane-LSH banding: bits-per-band ~ log2(n) + 2,
+   * so a RANDOM pair collides on a given band with probability ~1/(4n) and
+   * expected accidental candidates stay ~O(n * bands / 4) instead of a
+   * constant FRACTION of all n^2/2 pairs (the sf1.0 soak measured the
+   * difference as "did not finish in 10 min" vs 8 s at n = 100k with the
+   * 4-bit small-scale default). Returns (bits, bands) with bits <= 64
+   * (signature is one Long).
+   */
+  def lshPlan(n: Long, bands: Int = 4): (Int, Int) = {
+    val perBand = math.min(16, math.max(2,
+      (math.log(math.max(2L, n).toDouble) / math.log(2.0)).ceil.toInt + 2))
+    (math.min(64, perBand * bands), bands)
+  }
+
   /** Exact top-k by quantised cosine. queries: (qid, vec); corpus: (tid, vec). */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       broadcastCorpus: Boolean = true): DataFrame = {

@@ -123,6 +123,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r >= 0.7, s"ANN recall $r below 0.7")
   }
 
+  test("lshPlan scales bits-per-band with corpus size, capped at one Long") {
+    // tiny corpus: narrow bands (high recall); big corpus: full 64-bit sig
+    val (b1, n1) = Similarity.lshPlan(100, bands = 4)
+    assert(n1 == 4 && b1 / n1 >= 2 && b1 / n1 <= 16, s"$b1/$n1")
+    val (b2, n2) = Similarity.lshPlan(100000, bands = 4)
+    assert((b2, n2) == (64, 4)) // 16-bit bands at 100k
+    val (b3, _) = Similarity.lshPlan(10000000L, bands = 8)
+    assert(b3 == 64) // signature ceiling: one Long
+    // monotone: more corpus never means narrower bands
+    val widths = Seq(100L, 10000L, 1000000L).map(n => Similarity.lshPlan(n)._1)
+    assert(widths == widths.sorted, widths)
+  }
+
   test("minhash band cap: degenerate buckets can be bounded; default is exact LSH") {
     // 20 identical docs -> every band is one degenerate bucket of 20
     val docs = spark.createDataFrame(
