@@ -97,6 +97,11 @@ object DeltaStream {
    *
    * @return (n_stream, n_batch, n_diff) where n_diff counts rows on exactly
    *         one side (multiset exceptAll, both directions) — 0 means parity.
+   *
+   * The fixture staging is DELIBERATELY driver-local (java.nio temp dirs):
+   * this harness synthesises its own throwaway drops; the paths under test —
+   * file-source read, dedupe, partitioned store sink, batch re-read — all go
+   * through Spark's Hadoop-FS stack and work on HDFS/S3 unchanged.
    */
   def replayParity(spark: SparkSession, nChanges: Int = 200, drops: Int = 3): (Long, Long, Long) = {
     import spark.implicits._
