@@ -97,6 +97,9 @@ object ScaleSoak {
       System.err.println(f"SOAK done  $name ${times(name)}%.1f s rows=${stats(name)}")
     }
 
+    timed("dedup_exact_full") {
+      graft.operators.Dedup.exact(docs, "doc_id", "text").count()
+    }
     timed("minhash_lsh_full") {
       graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", tau = 0.5).count()
     }
