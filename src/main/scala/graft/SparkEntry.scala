@@ -387,6 +387,32 @@ object SparkEntry {
       rows.toDF("dialect", "n_tables", "n_chars", "fnv64")
     }),
 
+    "q_ivf_index_parity" -> ((s, dir) => {
+      // the persisted (cid-partitioned, partition-pruned) IVF index must
+      // return exactly the in-memory IVF results for the same quantizer;
+      // the oracle pins the counts (nProbe=8 of 16 lists holds >> k
+      // candidates per query at every sf) and diff == 0
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("tid"), col("embedding").as("vec"))
+      val queries = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+      val idxDir = java.nio.file.Files.createTempDirectory("ivf_idx_q").toString
+      val cents = graft.operators.IvfIndex.build(corpus, idxDir,
+        kCentroids = 16, kmeansIters = 1)
+      val persisted = graft.operators.IvfIndex.query(s, idxDir, queries,
+        k = 3, nProbe = 8).cache()
+      val mem = graft.operators.Similarity.ivfTopKWith(queries, corpus,
+        k = 3, cents, nProbe = 8).cache()
+      try {
+        val a = persisted.select("qid", "tid", "rn")
+        val b = mem.select("qid", "tid", "rn")
+        val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        Seq((persisted.count(), mem.count(), diff))
+          .toDF("n_persisted", "n_memory", "n_diff")
+      } finally { persisted.unpersist(); mem.unpersist() }
+    }),
+
     "q_stream_batch_parity" -> ((s, dir) => {
       // incremental streaming ingest must equal the reference's re-dump-from-
       // scratch batch semantics row for row (DeltaStream.replayParity); the
@@ -623,6 +649,11 @@ object SparkEntry {
 
     "q_stream_batch_parity" ->
       """SELECT CAST(200 AS BIGINT) AS n_stream, CAST(200 AS BIGINT) AS n_batch,
+        |  CAST(0 AS BIGINT) AS n_diff""".stripMargin,
+
+    "q_ivf_index_parity" ->
+      """SELECT CAST(3 * (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS BIGINT) AS n_persisted,
+        |  CAST(3 * (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS BIGINT) AS n_memory,
         |  CAST(0 AS BIGINT) AS n_diff""".stripMargin,
 
     "q_knn_addresses" ->

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.expr.gf
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets
+
+/**
+ * PERSISTED IVF index — the ANN-at-rest shape for a 100 TB corpus (you build
+ * the index once; queries must not re-embed, re-cluster or re-scan the whole
+ * corpus):
+ *
+ *  - `build`: coarse-quantize (sample + distributed Lloyd refinement), assign
+ *    every vector to its ONE inverted list (per-row IvfProbes expression, no
+ *    shuffle), and write the lists as parquet IDENTITY-PARTITIONED BY `cid`
+ *    with the quantized vectors inline; centroids persist next to the lists.
+ *  - `query`: load the (small, K x dim) centroid matrix, compute each
+ *    query's nProbe lists, and read ONLY those partitions — the probed-cid
+ *    set is bounded by K, so the IN-list is driver-sized and Catalyst turns
+ *    it into PARTITION PRUNING on the store (verified in the spec via
+ *    PartitionFilters). Exact quantized-cosine re-rank on the candidates.
+ *
+ * All reads force an explicit schema: partition-column type inference is
+ * never trusted (see DocStore).
+ */
+object IvfIndex {
+
+  private val listSchema = StructType(Seq(
+    StructField("tid", LongType, nullable = false),
+    StructField("q_t", ArrayType(LongType, containsNull = true), nullable = true),
+    StructField("cid", IntegerType, nullable = false)))
+
+  /** Build the index: inverted lists partitioned by cid + centroid matrix. */
+  def build(corpus: DataFrame, dir: String, kCentroids: Int = 64,
+      kmeansIters: Int = 1): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    val sampled = Similarity.sampleCentroids(corpus, kCentroids)
+    require(sampled.nonEmpty, "empty corpus")
+    val cents =
+      if (kmeansIters > 0) Similarity.refineCentroids(corpus, sampled, kmeansIters)
+      else sampled
+    corpus.select(col("tid"), gf.vec_quantize(col("vec")).as("q_t"),
+        element_at(gf.ivf_probes(col("vec"), cents, 1), 1).as("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
+    writeCentroids(spark, s"$dir/centroids.txt", cents)
+    cents
+  }
+
+  /** Query the persisted index: partition-pruned candidate read + exact
+    * re-rank. queries: (qid, vec). */
+  def query(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+      nProbe: Int = 8): DataFrame = {
+    val cents = readCentroids(spark, s"$dir/centroids.txt")
+    val probed = queries.select(col("qid"), gf.vec_quantize(col("vec")).as("q_q"),
+      explode(gf.ivf_probes(col("vec"), cents, nProbe)).as("cid"))
+    // the probed-cid set is bounded by K (the centroid count), so collecting
+    // it is a driver-sized constant — and an IN-list literal is what Catalyst
+    // prunes partitions with (a join would scan every list)
+    val cids = probed.select("cid").distinct().collect().map(_.getInt(0)).sorted
+    val lists = spark.read.schema(listSchema).parquet(s"$dir/lists")
+      .where(col("cid").isin(cids.map(Integer.valueOf).toSeq: _*))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("tid"))
+    probed.join(lists, "cid")
+      .withColumn("cos", gf.vec_cos_q(col("q_q"), col("q_t")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("tid"), col("cos"), col("rn"))
+  }
+
+  /** The pruned scan for plan assertions (same predicate as `query`). */
+  def prunedScan(spark: SparkSession, dir: String, cids: Seq[Int]): DataFrame =
+    spark.read.schema(listSchema).parquet(s"$dir/lists")
+      .where(col("cid").isin(cids.map(Integer.valueOf): _*))
+
+  // --------------------------------------------------------- centroid files
+
+  private def writeCentroids(spark: SparkSession, path: String,
+      cents: Array[Array[Float]]): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val body = cents.map(_.mkString(",")).mkString("\n")
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def readCentroids(spark: SparkSession, path: String): Array[Array[Float]] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val body = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      new String(bos.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    body.split("\n").map(_.split(",").map(_.toFloat))
+  }
+}

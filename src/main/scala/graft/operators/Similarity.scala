@@ -185,7 +185,14 @@ object Similarity {
     require(sampled.nonEmpty, "empty corpus")
     val cents =
       if (kmeansIters > 0) refineCentroids(corpus, sampled, kmeansIters) else sampled
+    ivfTopKWith(queries, corpus, k, cents, nProbe)
+  }
 
+  /** IVF top-k against a PRECOMPUTED coarse quantizer (shared with the
+    * persisted-index path, [[IvfIndex]], so both produce identical results
+    * for the same centroids). */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      cents: Array[Array[Float]], nProbe: Int): DataFrame = {
     // assignment via the IvfProbes expression: centroid matrix is one
     // reference object in the plan (constant plan size / compile time in K)
     val c = corpus.select(col("tid"), gf.vec_quantize(col("vec")).as("q_t"),

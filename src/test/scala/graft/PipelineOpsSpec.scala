@@ -1,7 +1,7 @@
 package graft
 
 import graft.geo.{TextAlgos, VecAlgos}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IvfIndex, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -121,6 +121,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     val ann = Similarity.annTopK(queries, all, k = 3, bits = 16, bands = 8)
     val r = Similarity.recall(ann, brute)
     assert(r >= 0.7, s"ANN recall $r below 0.7")
+  }
+
+  test("persisted IVF index: partition-pruned query == in-memory IVF, centroids round-trip") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.select($"vec_id".as("tid"), $"embedding".as("vec"))
+    val queries = emb.where($"vec_id" % 25 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+
+    val cents = IvfIndex.build(corpus, dir, kCentroids = 8, kmeansIters = 1)
+    // centroid matrix round-trips exactly (float-text parse)
+    val loaded = IvfIndex.readCentroids(spark, s"$dir/centroids.txt")
+    assert(loaded.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+
+    // persisted query == in-memory IVF with the same quantizer
+    val got = IvfIndex.query(spark, dir, queries, k = 3, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val want = Similarity.ivfTopKWith(queries, corpus, k = 3, cents, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(got == want)
+
+    // the probed-cid predicate reaches the store as PARTITION pruning
+    val plan = IvfIndex.prunedScan(spark, dir, Seq(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"), plan)
+    val onlyProbed = IvfIndex.prunedScan(spark, dir, Seq(0, 1))
+      .select("cid").distinct().collect().map(_.getInt(0)).toSet
+    assert(onlyProbed.subsetOf(Set(0, 1)))
   }
 
   test("lshPlan scales bits-per-band with corpus size, capped at one Long") {
