@@ -329,7 +329,7 @@ object SparkEntry {
       val brute = graft.operators.Similarity.bruteTopK(queries, corpus, k = 3).cache()
       val ann = graft.operators.Similarity.annTopK(queries, corpus, k = 3).cache()
       val ivf = graft.operators.Similarity.ivfTopK(queries, corpus, k = 3,
-        kCentroids = 16, nProbe = 8, kmeansIters = 2).cache()
+        kCentroids = 16, nProbe = 8, kmeansIters = 1).cache()
       try {
         val nExact = brute.count()
         val nAnn = ann.count()
