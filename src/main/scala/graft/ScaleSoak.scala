@@ -100,8 +100,16 @@ object ScaleSoak {
     timed("dedup_exact_full") {
       graft.operators.Dedup.exact(docs, "doc_id", "text").count()
     }
+    // shingle width scales with the corpus: character 3-grams of same-
+    // alphabet text share a large ambient Jaccard (frequent trigrams), so at
+    // 100k+ docs random pairs start colliding in 4-hash bands and the
+    // candidate PARTICIPANT set balloons toward the corpus — the production
+    // cure is wider shingles (5-grams), which collapses ambient similarity
+    // while true near-dups (one word changed) stay >> tau
+    val shingleN = if (nDocs > 150000) 5 else 3
     timed("minhash_lsh_full") {
-      graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", tau = 0.5).count()
+      graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = shingleN, tau = 0.5).count()
     }
     timed("simhash_full") {
       graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count()

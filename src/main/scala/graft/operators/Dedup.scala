@@ -24,6 +24,39 @@ object Dedup {
   def exactRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.join(exact(df, idCol, textCol).select(col("keep_id").as(idCol)), idCol)
 
+  /** Join the candidate pairs back to a per-side lookup table.
+    *
+    * Default: EXPLICIT broadcast. The lookup (candidate participants only)
+    * sits behind a broadcast semi-join with NO shuffle boundary, so Catalyst
+    * has no runtime stats for it: the estimate falls back to the full
+    * corpus, the join plans as SortMergeJoin, and AQE coalesces the id-only
+    * pair shuffle to ~1 partition while post-join rows balloon by the
+    * payload width (72 s vs 4.5 s measured at the 100k-doc soak). The
+    * broadcast is also strictly better than ANY shuffle plan when it fits:
+    * both fat joins become map-side, so the (pairs x payload) intermediate
+    * streams through whole-stage codegen and never hits shuffle files
+    * (an AQE-visible exchange variant measured 170 s — the intermediate
+    * shuffles twice).
+    *
+    * `broadcastVerify = false` is the escape hatch when the participant set
+    * itself is beyond broadcast (high-ambient-similarity corpora — an
+    * unconditional broadcast OOMed at the 300k-doc soak until the BANDING
+    * was scaled): pairs spread across the full shuffle width before the fat
+    * joins. The first-order fix at scale is always fewer junk candidates —
+    * more hashes per band (see Similarity.lshPlan) and/or maxBandSize. */
+  private def verifyJoin(candidates: DataFrame, lookup: DataFrame,
+      broadcastVerify: Boolean): DataFrame = {
+    val aSide = lookup.toDF(lookup.columns.map(c => s"${c}_a"): _*)
+    val bSide = lookup.toDF(lookup.columns.map(c => s"${c}_b"): _*)
+    if (broadcastVerify)
+      candidates.join(broadcast(aSide), "id_a").join(broadcast(bSide), "id_b")
+    else {
+      val n = candidates.sparkSession.sessionState.conf.numShufflePartitions
+      candidates.repartition(n, col("id_a")).join(aSide, "id_a").join(bSide, "id_b")
+    }
+  }
+
+
   /**
    * MinHash + LSH near-dup pairs: shingle -> minhash signature -> band keys ->
    * bucket equi-join -> exact Jaccard verification >= tau.
@@ -42,29 +75,6 @@ object Dedup {
    *   bounded work, the standard LSH-at-scale practice). 0 = unlimited
    *   (exact LSH semantics; the spec-pinned default).
    */
-  /** Join the candidate pairs back to a per-side lookup table. Default:
-    * EXPLICIT broadcast — the lookup (candidate participants only) is tiny
-    * next to the corpus, but Catalyst can't see that (it sits behind a
-    * broadcast semi-join with no shuffle boundary, so no runtime stats; the
-    * estimate falls back to the full corpus -> SortMergeJoin, and AQE then
-    * coalesces the id-only pair shuffle to ~1 partition while the post-join
-    * rows balloon by the payload width: measured 72 s vs 4.5 s at the
-    * 100k-doc soak). `broadcastVerify = false` is the escape hatch for
-    * corpora whose candidate set itself is beyond broadcast: it spreads the
-    * pairs across the full shuffle width BEFORE the fat join so AQE's
-    * pre-join byte estimate can't serialize the inflated output. */
-  private def verifyJoin(candidates: DataFrame, lookup: DataFrame,
-      broadcastVerify: Boolean): DataFrame = {
-    val aSide = lookup.toDF(lookup.columns.map(c => s"${c}_a"): _*)
-    val bSide = lookup.toDF(lookup.columns.map(c => s"${c}_b"): _*)
-    if (broadcastVerify)
-      candidates.join(broadcast(aSide), "id_a").join(broadcast(bSide), "id_b")
-    else {
-      val n = candidates.sparkSession.sessionState.conf.numShufflePartitions
-      candidates.repartition(n, col("id_a")).join(aSide, "id_a").join(bSide, "id_b")
-    }
-  }
-
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       tau: Double = 0.7, maxBandSize: Int = 0,

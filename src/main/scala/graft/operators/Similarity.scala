@@ -71,10 +71,10 @@ object Similarity {
     val qNeeded = qVec.join(candidates.select(col("qid")).distinct(), Seq("qid"), "left_semi")
     val tNeeded = cVec.join(candidates.select(col("tid")).distinct(), Seq("tid"), "left_semi")
     // explicit broadcast of the re-rank lookups: they sit behind broadcast
-    // semi-joins (no shuffle boundary -> no runtime stats), so Catalyst
-    // falls back to corpus-sized estimates and plans SMJ over the inflating
-    // pair rows (see Dedup.verifyJoin). broadcastVerify=false = the spread
-    // fallback for candidate-participant sets beyond broadcast size.
+    // semi-joins (no shuffle boundary -> no runtime stats) and a broadcast
+    // keeps the (pairs x vectors) intermediate inside one codegen stage —
+    // see Dedup.verifyJoin for the measured alternatives. broadcastVerify =
+    // false spreads the pairs instead (participants beyond broadcast size).
     val (qSide, tSide) =
       if (broadcastVerify) (broadcast(qNeeded), broadcast(tNeeded))
       else (qNeeded, tNeeded)

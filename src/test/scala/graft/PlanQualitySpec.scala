@@ -115,7 +115,9 @@ class PlanQualitySpec extends AnyFunSuite {
     // the lookup sides sit behind broadcast semi-joins (no runtime stats), so
     // without the explicit hint Catalyst plans SortMergeJoin and AQE sizes
     // partitions on the id-only bytes while post-join rows balloon by the
-    // payload width (measured 72 s vs 4.5 s at the 100k-doc soak)
+    // payload width (72 s coalesced SMJ / 170 s exchange-staged SMJ vs 4.5 s
+    // broadcast, measured at the 100k-doc soak — broadcast keeps the fat
+    // intermediate inside one codegen stage, never in shuffle files)
     val docs = Seq(("1", "aaaa bbbb cccc"), ("2", "aaaa bbbb cccd"), ("3", "zzzz"))
       .toDF("doc_id", "text")
     val plan = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", tau = 0.5)
