@@ -119,6 +119,11 @@ object Dedup {
    * SimHash near-dup pairs: 64-bit simhash split into 16-bit bands; any pair
    * within Hamming distance <= 3 of each other shares at least one exact band
    * (pigeonhole over 4 bands), so the band join loses nothing at maxHamming<=3.
+   *
+   * Unlike minhash/embedding, the 8-byte signature DELIBERATELY rides the
+   * band shuffle: re-joining it per pair (two extra joins) would cost more
+   * than shuffling one long per row — the ids-only re-join discipline pays
+   * off only when the payload is wider than the join machinery it saves.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
