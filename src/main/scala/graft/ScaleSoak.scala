@@ -100,43 +100,149 @@ object ScaleSoak {
     timed("dedup_exact_full") {
       graft.operators.Dedup.exact(docs, "doc_id", "text").count()
     }
-    // shingle width scales with the corpus: character 3-grams of same-
-    // alphabet text share a large ambient Jaccard (frequent trigrams), so at
-    // 100k+ docs random pairs start colliding in 4-hash bands and the
-    // candidate PARTICIPANT set balloons toward the corpus — the production
-    // cure is wider shingles (5-grams), which collapses ambient similarity
-    // while true near-dups (one word changed) stay >> tau
-    val shingleN = if (nDocs > 150000) 5 else 3
-    timed("minhash_lsh_full") {
-      graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
-        shingleN = shingleN, tau = 0.5).count()
+    // ALL dedup/ANN operators below run with NO banding/shingle/broadcast
+    // knobs: the round-4 scale-safe defaults (Dedup.minhashPlan /
+    // Similarity.lshPlan / measured broadcastVerify) must land the planted
+    // answers at soak scale on their own. (Round 3 passed soak-derived
+    // settings explicitly; a library whose defaults die at its own target
+    // scale is a defect — VERDICT r3.)
+    //
+    // expected minhash pairs at tau=0.5: the C(600,2) boilerplate clique +
+    // the every-50th (i-1, i) edit pairs, minus the 12 edit pairs that fall
+    // INSIDE the boilerplate block (already clique members)
+    val expectedEditPairs = nDocs / 50 -
+      (nDocs / 2 until math.min(nDocs, nDocs / 2 + 600)).count(_ % 50 == 1)
+    val expectedPairs = expectedEditPairs + 600L * 599L / 2L
+    val minhashPairs = graft.operators.Dedup.minhashLshPairs(
+      docs, "doc_id", "text", tau = 0.5)
+    timed("minhash_lsh_full") { minhashPairs.count() }
+    require(stats("minhash_lsh_full") == expectedPairs,
+      s"minhash planted answer: got ${stats("minhash_lsh_full")}, want $expectedPairs")
+    // pair -> group consolidation: the 600-doc clique must collapse to ONE
+    // group with 599 drops, edit pairs to 2-member groups; large/small-star
+    // must converge (componentsWithStats throws if it loops)
+    timed("dedup_groups") {
+      val (comp, rounds) = graft.operators.Dedup.componentsWithStats(minhashPairs)
+      val groups = comp.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .cache()
+      val nGroups = groups.count()
+      val biggest = groups.agg(max(col("n_members"))).head().getLong(0)
+      groups.unpersist()
+      System.err.println(s"SOAK dedup_groups rounds=$rounds groups=$nGroups biggest=$biggest")
+      require(biggest == 600L, s"clique must collapse to one 600-member group, got $biggest")
+      require(nGroups == 1L + expectedEditPairs, s"groups: got $nGroups, want ${1 + expectedEditPairs}")
+      nGroups
     }
     timed("simhash_full") {
       graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count()
     }
-    // LSH banding scales with the corpus: bits-per-band ~ log2(N), else a
-    // band key matches a constant FRACTION of all pairs (4-bit default bands
-    // collide on ~6% of 5e9 pairs at 100k vectors -> ~1e9 candidates; 16-bit
-    // bands collide on ~1.5e-5 of them). The bits/bands knobs exist for
-    // exactly this; small-scale defaults are pinned by the specs.
-    val (pBits, pBands) = graft.operators.Similarity.lshPlan(nVecs, bands = 4)
+    val expectedVecPairs = (nVecs + 92) / 100 // i % 100 == 7 -> (i-1, i) planted
     timed("embedding_pairs_full") {
       graft.operators.Dedup.embeddingPairs(emb, "vec_id", "embedding",
-        minCos = 0.95, bits = pBits, bands = pBands).count()
+        minCos = 0.95).count()
     }
-    val (aBits, aBands) = graft.operators.Similarity.lshPlan(nVecs, bands = 8)
+    require(stats("embedding_pairs_full") == expectedVecPairs,
+      s"embedding planted answer: got ${stats("embedding_pairs_full")}, want $expectedVecPairs")
     timed("ann_topk") {
-      graft.operators.Similarity.annTopK(queries, corpus, k = 10,
-        bits = aBits, bands = aBands).count()
+      graft.operators.Similarity.annTopK(queries, corpus, k = 10).count()
     }
     timed("ivf_topk_kmeans1") {
       graft.operators.Similarity.ivfTopK(queries, corpus, k = 10,
         kCentroids = 64, nProbe = 8, kmeansIters = 1).count()
     }
+    skewSoak(spark, nVecs, emb, times, stats)
 
     val ts = times.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
     val ss = stats.map { case (k, v) => "\"" + k + s"\":$v" }.mkString("{", ",", "}")
     println(s"""{"soak":"sf1.0","cpus":$cpus,"n_docs":$nDocs,"n_vecs":$nVecs,"sec":$ts,"rows":$ss}""")
     spark.stop()
+  }
+
+  /** Skewed corpus: vectors for even i collapse onto ONE tight cluster
+    * (50% of the corpus), the rest spread over 255 other centers. */
+  private def skewVec(i: Long, dim: Int): Array[Float] = {
+    val c = if (i % 2 == 0) 0 else (1 + (i % 255)).toInt
+    val spread = if (i % 2 == 0) 0.05f else 0.7f
+    Array.tabulate(dim) { d =>
+      val center = ((Rng.splitmix64(0xCE17E500L + c * 64L + d) >>> 11).toFloat / (1L << 53).toFloat) - 0.5f
+      val noise = ((Rng.splitmix64(i * 131L + d) >>> 11).toFloat / (1L << 53).toFloat - 0.5f) * spread
+      center + noise
+    }
+  }
+
+  /** Planted-hot-centroid IVF case (VERDICT r3 #6): with a FIXED quantizer
+    * (the 100 TB failure mode — an index built before the data drifted), one
+    * centroid owns ~50% of the corpus, so the cid equi-join shuffles half
+    * the vectors into one partition. Auto-broadcast is disabled to force the
+    * at-scale plan (on a real cluster the probe side is far beyond broadcast
+    * size); AQE skew-join must split the hot partition — asserted on the
+    * executed plan — and the wall clock is reported against a balanced
+    * corpus under the identical configuration. */
+  private def skewSoak(spark: SparkSession, nVecs: Long,
+      balanced: DataFrame,
+      times: scala.collection.mutable.LinkedHashMap[String, Double],
+      stats: scala.collection.mutable.LinkedHashMap[String, Long]): Unit = {
+    import spark.implicits._
+    val dim = 64
+    // fixed quantizer: 64 centroids on the generator's center lattice —
+    // centroid 0 sits on the hot cluster's center
+    val cents: Array[Array[Float]] = Array.tabulate(64) { c =>
+      Array.tabulate(dim) { d =>
+        ((Rng.splitmix64(0xCE17E500L + c * 64L + d) >>> 11).toFloat / (1L << 53).toFloat) - 0.5f
+      }
+    }
+    val hot = spark.range(0, nVecs, 1, 64).map(i => (i, skewVec(i, dim)))
+      .toDF("vec_id", "embedding").cache()
+    hot.count()
+    // queries come from the BALANCED corpus in BOTH runs so the total
+    // candidate volume is comparable — the hot run differs only in how the
+    // corpus shuffles across cid partitions (one holds ~50%), which is the
+    // skew under test
+    val qs = balanced.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("vec")).cache()
+    qs.count()
+    def confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def run(corpusDf: org.apache.spark.sql.DataFrame, name: String, wantSkewSplit: Boolean): Unit =
+        timed2(times, stats, name) {
+          val c = corpusDf.select(col("vec_id").as("tid"), col("embedding").as("vec"))
+          val df = graft.operators.Similarity.ivfTopKWith(qs, c, k = 10, cents, nProbe = 4)
+          val n = df.collect().length.toLong
+          // read the AQE FINAL plan off the SAME DF that was executed
+          val plan = df.queryExecution.executedPlan.toString
+          if (wantSkewSplit)
+            require(plan.contains("skew=true") || plan.contains("skewed"),
+              s"hot-centroid join must be AQE skew-split; plan:\n${plan.take(2000)}")
+          n
+        }
+      run(hot, "ivf_skew_hot", wantSkewSplit = true)
+      run(balanced, "ivf_skew_balanced", wantSkewSplit = false)
+      System.err.println(f"SOAK skew ratio hot/balanced = ${
+        times("ivf_skew_hot") / times("ivf_skew_balanced")}%.2f (target < 2.0)")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      hot.unpersist(); qs.unpersist()
+    }
+  }
+
+  private def timed2(times: scala.collection.mutable.LinkedHashMap[String, Double],
+      stats: scala.collection.mutable.LinkedHashMap[String, Long],
+      name: String)(f: => Long): Unit = {
+    System.err.println(s"SOAK start $name")
+    val t0 = System.nanoTime()
+    stats(name) = f
+    times(name) = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"SOAK done  $name ${times(name)}%.1f s rows=${stats(name)}")
   }
 }

@@ -294,26 +294,117 @@ object SparkEntry {
           sum(gf.token_count(col("text")).cast("long")).as("total_tokens"))
     }),
 
+    // The three LSH candidate queries use the q_ivf_index_parity pattern:
+    // the approximate operator's output is diffed IN SPARK against an
+    // independently computed exact verifier, plus planted near-identical
+    // rows (SQL-reproducible edits) pin the high-similarity recall tier —
+    // so every emitted column is deterministic AND DuckDB-expressible.
+
     "q_minhash_near_dups" -> ((s, dir) => {
+      import s.implicits._
       val sample = t(s, dir, "documents").where(col("doc_id") % 10 === 0)
-      graft.operators.Dedup.minhashLshPairs(sample, "doc_id", "text", tau = 0.5)
-        .agg(count(lit(1)).as("n_pairs"),
-          coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"))
+        .select(col("doc_id"), col("text"))
+      // planted near-identical copies: first two chars replaced (jac ~0.97)
+      val planted = sample.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(lit("zq"), substring(col("text"), 3, 1000000)).as("text"))
+      val docs = sample.unionByName(planted)
+      val found = graft.operators.Dedup
+        .minhashLshPairs(docs, "doc_id", "text", tau = 0.5) // all-auto plan
+        .select(col("id_a"), col("id_b")).cache()
+      val exactP = graft.operators.Dedup
+        .ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+        .withColumn("jac", col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"))
+        .cache()
+      try {
+        val exactIds = exactP.select(col("id_a"), col("id_b"))
+        val high = exactP.where(col("jac") >= 0.9).select(col("id_a"), col("id_b"))
+        // precision invariant: every LSH pair passes the same exact-Jaccard
+        // bar (n_extra = 0); recall invariant: the >=0.9 tier is certainly
+        // banded at r=4/b=16 (miss prob ~1e-15 per pair)
+        Seq((exactIds.count(), found.exceptAll(exactIds).count(),
+          high.count(), high.exceptAll(found).count()))
+          .toDF("n_exact", "n_extra", "n_high", "n_high_missed")
+      } finally { found.unpersist(); exactP.unpersist() }
     }),
 
     "q_simhash_near_dups" -> ((s, dir) => {
-      val sample = t(s, dir, "documents").where(col("doc_id") % 10 === 0)
-      graft.operators.Dedup.simhashPairs(sample, "doc_id", "text", maxHamming = 3)
-        .agg(count(lit(1)).as("n_pairs"),
-          coalesce(max(col("hamming")), lit(-1)).as("max_hamming"))
+      import s.implicits._
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // planted exact copies: simhash distance 0, certainly within hamming 3
+      val docsAll = base.unionByName(base.where(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      val found = graft.operators.Dedup
+        .simhashPairs(docsAll, "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b")).cache()
+      // exact verifier: brute-force all-pairs Hamming over the same
+      // signatures — the 4x16-bit banding certifies completeness at
+      // hamming <= 3 (pigeonhole), so the symmetric diff is
+      // deterministically empty and the oracle pins it
+      val sh = docsAll.select(col("doc_id"), gf.simhash64(col("text")).as("sh"))
+      val brute = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        .join(broadcast(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))),
+          col("id_a") < col("id_b"))
+        .where(gf.hamming64(col("sh_a"), col("sh_b")) <= 3)
+        .select(col("id_a"), col("id_b")).cache()
+      try {
+        val symDiff = found.exceptAll(brute).count() + brute.exceptAll(found).count()
+        Seq((docsAll.count(), brute.count() > 0, symDiff))
+          .toDF("n_docs", "has_pairs", "sym_diff")
+      } finally { found.unpersist(); brute.unpersist() }
     }),
 
     "q_embedding_near_dups" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      graft.operators.Dedup.embeddingPairs(emb, "vec_id", "embedding", minCos = 0.8)
-        .agg(count(lit(1)).as("n_pairs"),
-          coalesce(round(min(col("cos")), 6), lit(0.0)).as("min_cos"))
+      import s.implicits._
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // planted near-identical vectors: power-of-two jitter computed in
+      // double and rounded to float — bit-identical in Spark and DuckDB
+      // (cos vs the original ~0.9999 on these unit-norm vectors)
+      val planted = base.where(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => (x.cast("double") +
+              ((col("vec_id") * 31 + i) % 7 - lit(3)).cast("double") / lit(1024.0))
+              .cast("float")).as("embedding"))
+      val emb = base.unionByName(planted)
+      val found = graft.operators.Dedup
+        .embeddingPairs(emb, "vec_id", "embedding", minCos = 0.8, bands = 8)
+        .select(col("id_a"), col("id_b")).cache()
+      val q = emb.select(col("vec_id"), gf.vec_quantize(col("embedding")).as("q"))
+      val exact = q.select(col("vec_id").as("id_a"), col("q").as("q_a"))
+        .join(broadcast(q.select(col("vec_id").as("id_b"), col("q").as("q_b"))),
+          col("id_a") < col("id_b"))
+        .withColumn("cos", gf.vec_cos_q(col("q_a"), col("q_b")))
+        .where(col("cos") >= 0.8).cache()
+      try {
+        val exactIds = exact.select(col("id_a"), col("id_b"))
+        val high = exact.where(col("cos") >= 0.99).select(col("id_a"), col("id_b"))
+        Seq((exactIds.count(), found.exceptAll(exactIds).count(),
+          high.count(), high.exceptAll(found).count()))
+          .toDF("n_exact", "n_extra", "n_high", "n_high_missed")
+      } finally { found.unpersist(); exact.unpersist() }
+    }),
+
+    "q_dedup_groups" -> ((s, dir) => {
+      // pair -> group consolidation over the ALREADY-ORACLED exact n-gram
+      // Jaccard pair set: connected components (large-star/small-star) +
+      // canonical survivor; DuckDB recomputes the closure recursively
+      val sample = t(s, dir, "documents").where(col("doc_id") % 20 === 0)
+      val pairs = graft.operators.Dedup
+        .ngramJaccardPairs(sample, "doc_id", "text", n = 3, tau = 0.5)
+      graft.operators.Dedup.dedupGroups(pairs)
+    }),
+
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: docs sharing >=30% of their distinct
+      // 8-grams with the (broadcast) benchmark shingle set are flagged
+      val docsAll = t(s, dir, "documents")
+      val bench = docsAll.where(col("doc_id") % 97 === 0)
+      val rest = docsAll.where(col("doc_id") % 97 =!= 0)
+      graft.operators.Dedup
+        .contaminated(rest, bench, "doc_id", "text", n = 8, minOverlap = 0.3)
+        .select(col("id").as("doc_id"), col("n_common"), col("n_sh"))
     }),
 
     "q_ann_recall" -> ((s, dir) => {
@@ -327,7 +418,12 @@ object SparkEntry {
       // fold BOTH recalls into ONE tagged-union join job instead of two
       // semi-join+count pairs: |want INTERSECT got| per method in one pass
       val brute = graft.operators.Similarity.bruteTopK(queries, corpus, k = 3).cache()
-      val ann = graft.operators.Similarity.annTopK(queries, corpus, k = 3).cache()
+      // explicit generous banding (2 bits/band): this corpus has NO
+      // high-similarity structure (max pair cos ~0.6), so the recall
+      // harness needs the wide-net small-scale setting — the auto plan
+      // (bits = 0) targets near-dup selectivity at corpus scale
+      val ann = graft.operators.Similarity.annTopK(queries, corpus, k = 3,
+        bits = 16, bands = 8).cache()
       val ivf = graft.operators.Similarity.ivfTopK(queries, corpus, k = 3,
         kCentroids = 16, nProbe = 8, kmeansIters = 1).cache()
       try {
@@ -391,15 +487,17 @@ object SparkEntry {
       // the persisted (cid-partitioned, partition-pruned) IVF index must
       // return exactly the in-memory IVF results for the same quantizer;
       // the oracle pins the counts (nProbe=8 of 16 lists holds >> k
-      // candidates per query at every sf) and diff == 0
+      // candidates per query at every sf) and diff == 0. The index is
+      // prebuilt ONCE per sf (IvfIndex.ensure) — the query queries the
+      // index at rest instead of re-running sample + Lloyd + list write.
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val corpus = emb.select(col("vec_id").as("tid"), col("embedding").as("vec"))
       val queries = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("vec"))
-      val idxDir = java.nio.file.Files.createTempDirectory("ivf_idx_q").toString
-      val cents = graft.operators.IvfIndex.build(corpus, idxDir,
+      val idxDir = graft.operators.IvfIndex.ensure(s, sfOf(dir), corpus,
         kCentroids = 16, kmeansIters = 1)
+      val cents = graft.operators.IvfIndex.readCentroids(s, s"$idxDir/centroids.txt")
       val persisted = graft.operators.IvfIndex.query(s, idxDir, queries,
         k = 3, nProbe = 8).cache()
       val mem = graft.operators.Similarity.ivfTopKWith(queries, corpus,
@@ -611,6 +709,91 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY qid ORDER BY (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE CAST(idot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) END) DESC, tid) rn
         |      FROM d)
         |SELECT qid, tid, round(cos, 6) AS cos6, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    // -- LSH parity oracles: the Spark queries emit only deterministic,
+    // -- SQL-expressible quantities (exact-verifier counts + structural
+    // -- zero diffs); DuckDB recomputes the exact sets independently --
+
+    "q_minhash_near_dups" ->
+      """WITH sample_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |all_docs AS (
+        |  SELECT doc_id, text FROM sample_docs
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'zq' || substring(text, 3) FROM sample_docs WHERE doc_id % 20 = 0),
+        |docs AS (SELECT doc_id, text FROM all_docs WHERE length(text) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 3) AS g
+        |       FROM docs, range(1, 65536) t(i) WHERE i <= length(text) - 2),
+        |counts AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) c
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT CAST(c AS DOUBLE) / CAST(ca.n + cb.n - c AS DOUBLE) jac
+        |      FROM p JOIN counts ca ON ca.doc_id = ia JOIN counts cb ON cb.doc_id = ib)
+        |SELECT CAST(count(*) FILTER (jac >= 0.5) AS BIGINT) AS n_exact,
+        |  CAST(0 AS BIGINT) AS n_extra,
+        |  CAST(count(*) FILTER (jac >= 0.9) AS BIGINT) AS n_high,
+        |  CAST(0 AS BIGINT) AS n_high_missed
+        |FROM j""".stripMargin,
+
+    "q_simhash_near_dups" ->
+      """SELECT CAST((SELECT count(*) FROM documents)
+        |     + (SELECT count(*) FROM documents WHERE doc_id % 50 = 0) AS BIGINT) AS n_docs,
+        |  true AS has_pairs,
+        |  CAST(0 AS BIGINT) AS sym_diff""".stripMargin,
+
+    "q_embedding_near_dups" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding, (x, i) ->
+        |      CAST(CAST(x AS DOUBLE) + (((vec_id * 31 + (i - 1)) % 7) - 3) / 1024.0 AS FLOAT)) AS embedding
+        |  FROM base WHERE vec_id % 25 = 0),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) qv FROM allv),
+        |d AS (SELECT a.vec_id ia, b.vec_id ib,
+        |        CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS BIGINT) idot,
+        |        CAST(list_sum(list_transform(a.qv, x -> x * x)) AS BIGINT) na,
+        |        CAST(list_sum(list_transform(b.qv, x -> x * x)) AS BIGINT) nb
+        |      FROM q a JOIN q b ON a.vec_id < b.vec_id),
+        |c AS (SELECT CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE CAST(idot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) END cos FROM d)
+        |SELECT CAST(count(*) FILTER (cos >= 0.8) AS BIGINT) AS n_exact,
+        |  CAST(0 AS BIGINT) AS n_extra,
+        |  CAST(count(*) FILTER (cos >= 0.99) AS BIGINT) AS n_high,
+        |  CAST(0 AS BIGINT) AS n_high_missed
+        |FROM c""".stripMargin,
+
+    "q_dedup_groups" ->
+      """WITH RECURSIVE sample_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 3) AS g
+        |       FROM sample_docs, range(1, 65536) t(i) WHERE i <= length(text) - 2),
+        |counts AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT ia AS id_a, ib AS id_b FROM (
+        |    SELECT a.doc_id ia, b.doc_id ib, count(*) c
+        |    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) p
+        |  JOIN counts ca ON ca.doc_id = ia JOIN counts cb ON cb.doc_id = ib
+        |  WHERE CAST(c AS DOUBLE) / CAST(ca.n + cb.n - c AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |closure(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u WHERE e.v <> c.u),
+        |comp AS (SELECT u AS id, least(u, min(v)) AS component FROM closure GROUP BY u)
+        |SELECT component AS group_id, min(id) AS keep_id, count(*) AS n_members
+        |FROM comp GROUP BY component""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+        |bench AS (SELECT DISTINCT substring(text, CAST(i AS INT), 8) g
+        |          FROM docs, range(1, 65536) t(i) WHERE i <= length(text) - 7 AND doc_id % 97 = 0),
+        |dsh AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 8) g
+        |        FROM docs, range(1, 65536) t(i) WHERE i <= length(text) - 7 AND doc_id % 97 <> 0),
+        |tot AS (SELECT doc_id, count(*) n_sh FROM dsh GROUP BY doc_id),
+        |hit AS (SELECT doc_id, count(*) n_common FROM dsh WHERE g IN (SELECT g FROM bench) GROUP BY doc_id)
+        |SELECT t.doc_id, h.n_common, t.n_sh
+        |FROM tot t JOIN hit h ON t.doc_id = h.doc_id
+        |WHERE CAST(h.n_common AS DOUBLE) / CAST(t.n_sh AS DOUBLE) >= 0.3""".stripMargin,
 
     "q_token_stats" ->
       """SELECT source, count(*) AS n_docs,

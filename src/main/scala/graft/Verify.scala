@@ -15,12 +15,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    new java.io.File(s"$outDir/_plans").mkdirs()
+    // plan audits live in a SIBLING of outDir: the external compare driver
+    // globs outDir/* as parquet query results, so anything else in there
+    // (even an underscore dir) shows up as a spurious failing row in
+    // CORRECTNESS_r*.json (it did, in round 3)
+    val plansDir = new java.io.File(new java.io.File(outDir).getAbsoluteFile.getParent, "verify_plans")
+    plansDir.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // physical-plan audit artifact next to the results (judge-readable)
-        Files.writeString(Paths.get(s"$outDir/_plans/$name.txt"),
+        Files.writeString(Paths.get(s"$plansDir/$name.txt"),
           df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")

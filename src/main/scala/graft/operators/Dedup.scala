@@ -15,6 +15,25 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Corpus-size-aware minhash settings (the scale-safe defaults).
+    *
+    * Shingle width is the primary knob, per the 3x-soak finding: ambient
+    * char-3-gram Jaccard of same-alphabet text is 0.3-0.5, so at >=100k docs
+    * random pairs collide in minhash bands and the candidate-participant set
+    * balloons toward the corpus. Wider shingles collapse ambient similarity
+    * while true near-dups (an edit or two) stay >> tau; widening the BANDS
+    * instead would kill mid-similarity recall (S-curve threshold
+    * (1/b)^(1/r)). Rows-per-band r grows mildly with the corpus to push
+    * accidental band collisions below O(1/n); plateau'd steps keep the
+    * small-scale oracle-pinned behavior stable across sf0.001-0.1.
+    */
+  final case class MinhashPlan(shingleN: Int, numHashes: Int, bands: Int)
+
+  def minhashPlan(nDocs: Long): MinhashPlan =
+    if (nDocs <= 30000L) MinhashPlan(3, 64, 16)          // r=4, threshold ~0.50
+    else if (nDocs <= 30000000L) MinhashPlan(5, 96, 16)  // r=6, threshold ~0.63
+    else MinhashPlan(7, 128, 16)                         // r=8, threshold ~0.71
+
   /** Exact dedup: one winner (min id) per identical text; adds dup_count. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(col(textCol))
@@ -68,6 +87,15 @@ object Dedup {
    * full payloads travelled through both the band join and the distinct; at
    * sf0.1 that one query was 40% of the whole bench.
    *
+   * Scale-safe BY DEFAULT: shingleN/numHashes/bands left at 0 are filled
+   * from [[minhashPlan]] (one metadata-cheap count), and broadcastVerify
+   * left at None is picked from the MEASURED candidate-participant size
+   * (one ids-only agg + one participant text-length agg — the stats pass
+   * re-runs the narrow band join once; at scale that is noise next to a
+   * wrong join strategy, see verifyJoin). The round-3 library shipped
+   * small-scale constants as defaults, which its own soak proved fatal at
+   * >=100k docs.
+   *
    * @param maxBandSize optional candidate cap: bands holding more than this
    *   many docs are dropped from candidate generation (degenerate buckets —
    *   e.g. a corpus of near-identical boilerplate — are inherently quadratic
@@ -76,13 +104,22 @@ object Dedup {
    *   (exact LSH semantics; the spec-pinned default).
    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      shingleN: Int = 0, numHashes: Int = 0, bands: Int = 0,
       tau: Double = 0.7, maxBandSize: Int = 0,
-      broadcastVerify: Boolean = true): DataFrame = {
+      broadcastVerify: Option[Boolean] = None,
+      broadcastVerifyMaxBytes: Long = 128L << 20): DataFrame = {
     val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val plan =
+      if (shingleN > 0 && numHashes > 0 && bands > 0) MinhashPlan(shingleN, numHashes, bands)
+      else {
+        val p = minhashPlan(docs.count())
+        MinhashPlan(if (shingleN > 0) shingleN else p.shingleN,
+          if (numHashes > 0) numHashes else p.numHashes,
+          if (bands > 0) bands else p.bands)
+      }
     val sig = docs
       .select(col("id"),
-        explode(gf.lsh_bands(gf.minhash_sig(col("text"), shingleN, numHashes), bands)).as("band"))
+        explode(gf.lsh_bands(gf.minhash_sig(col("text"), plan.shingleN, plan.numHashes), plan.bands)).as("band"))
     val capped =
       if (maxBandSize <= 0) sig
       else {
@@ -107,9 +144,20 @@ object Dedup {
     val candidateIds = candidates.select(col("id_a").as("id"))
       .unionByName(candidates.select(col("id_b").as("id")))
       .distinct()
+    // auto broadcast choice: estimate the verification-lookup size from the
+    // participants' text lengths (one 8-byte hash per shingle window, ~8
+    // bytes/char upper bound + per-row overhead). The agg re-runs the
+    // ids-only candidate plan once — deliberately NOT persisted, so the
+    // operator's final physical plan is identical whether the choice was
+    // measured or forced (the plan-quality gates inspect it).
+    val doBroadcast = broadcastVerify.getOrElse {
+      val st = docs.join(candidateIds, Seq("id"), "left_semi")
+        .agg(count(lit(1)), coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
+      8L * st.getLong(1) + 64L * st.getLong(0) <= broadcastVerifyMaxBytes
+    }
     val needed = docs.join(candidateIds, Seq("id"), "left_semi")
-      .select(col("id"), gf.shingle_hashes(col("text"), shingleN).as("sh"))
-    verifyJoin(candidates, needed, broadcastVerify)
+      .select(col("id"), gf.shingle_hashes(col("text"), plan.shingleN).as("sh"))
+    verifyJoin(candidates, needed, doBroadcast)
       .withColumn("jaccard", gf.jaccard_sorted(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -173,16 +221,22 @@ object Dedup {
   /**
    * Embedding-cosine near-dup pairs: hyperplane-LSH bucket join (candidate
    * generation) + exact quantised-cosine verification.
+   *
+   * Scale-safe by default like [[minhashLshPairs]]: bits = 0 derives the
+   * banding from [[Similarity.lshPlan]] (corpus-size-aware bits-per-band),
+   * broadcastVerify = None measures the candidate-participant vector bytes.
    */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-      minCos: Double = 0.95, bits: Int = 16, bands: Int = 4,
-      broadcastVerify: Boolean = true): DataFrame = {
+      minCos: Double = 0.95, bits: Int = 0, bands: Int = 4,
+      broadcastVerify: Option[Boolean] = None,
+      broadcastVerifyMaxBytes: Long = 128L << 20): DataFrame = {
     // same shuffle discipline as minhashLshPairs: ids-only through the band
     // join and the pair-distinct; quantized vectors re-joined once per unique
     // pair for the exact verification
+    val useBits = if (bits > 0) bits else Similarity.lshPlan(df.count(), bands)._1
     val vecs = df.select(col(idCol).as("id"), gf.vec_quantize(col(vecCol)).as("q"))
     val sig = df.select(col(idCol).as("id"),
-      explode(gf.sig_bands(gf.vec_sig(col(vecCol), bits), bits, bands)).as("band"))
+      explode(gf.sig_bands(gf.vec_sig(col(vecCol), useBits), useBits, bands)).as("band"))
     val candidates = sig.select(col("id").as("id_a"), col("band"))
       .join(sig.select(col("id").as("id_b"), col("band")), Seq("band"))
       .where(col("id_a") < col("id_b"))
@@ -194,9 +248,139 @@ object Dedup {
       .unionByName(candidates.select(col("id_b").as("id")))
       .distinct()
     val needed = vecs.join(candidateIds, Seq("id"), "left_semi")
-    verifyJoin(candidates, needed, broadcastVerify)
+    val doBroadcast = broadcastVerify.getOrElse {
+      val st = needed.agg(count(lit(1)),
+        coalesce(sum(size(col("q")).cast("long")), lit(0L))).head()
+      8L * st.getLong(1) + 64L * st.getLong(0) <= broadcastVerifyMaxBytes
+    }
+    verifyJoin(candidates, needed, doBroadcast)
       .withColumn("cos", gf.vec_cos_q(col("q_a"), col("q_b")))
       .where(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  // ------------------------------------------------- pair -> group -> corpus
+
+  /** Connected components over an undirected pair graph, as alternating
+    * large-star / small-star rounds (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") in the plain DataFrame API: converges in
+    * O(log^2 n) rounds even on path graphs (min-label propagation is
+    * O(diameter)), every round is two hash-aggregation + join stages over
+    * (u, v) id pairs only — nothing wider ever shuffles. Each round is
+    * localCheckpoint'ed so plan lineage stays constant-depth (swap for
+    * reliable checkpointing on a real cluster).
+    *
+    * Returns (id -> component, rounds). `component` is the minimum member id;
+    * throws if maxIter rounds pass without convergence (a dedup pass that
+    * silently loops is worse than one that fails loudly). */
+  def componentsWithStats(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 50): (DataFrame, Int) = {
+    // (count, xor-of-hashes): an order-independent edge-set signature that
+    // cannot overflow under ANSI arithmetic (edges are distinct, so xor
+    // cancellation cannot hide a change)
+    def signature(e: DataFrame): (Long, Long) =
+      e.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
+        .head() match { case r => (r.getLong(0), r.getLong(1)) }
+    var edges = pairs
+      .select(greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var sig = signature(edges)
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      if (rounds >= maxIter)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIter large/small-star rounds")
+      // large-star: every strictly-larger neighbor connects to the
+      // neighborhood minimum (bidirected adjacency; min via agg + re-join,
+      // never collect_list — hot nodes are the whole point of large-star)
+      val adj = edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = adj.join(mins, "u")
+        .where(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: group by the larger endpoint, connect all smaller
+      // neighbors (and the node itself) to the minimum
+      val mins2 = large.groupBy("u").agg(min(col("v")).as("m"))
+      val next = large.join(mins2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins2.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges.unpersist()
+      edges = next
+      sig = nextSig
+      rounds += 1
+    }
+    // at the fixed point edges form stars (member -> component minimum);
+    // roots map to themselves
+    val assignment = edges.select(col("u").as("id"), col("v").as("component"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("component")))
+      .groupBy("id").agg(min(col("component")).as("component"))
+    (assignment, rounds)
+  }
+
+  def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 50): DataFrame =
+    componentsWithStats(pairs, idA, idB, maxIter)._1
+
+  /** Pair->group consolidation: one row per near-dup group with the canonical
+    * survivor (minimum id) — the "which documents do I drop" answer a
+    * training-data dedup pass actually ships. */
+  def dedupGroups(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b"): DataFrame =
+    components(pairs, idA, idB)
+      .groupBy(col("component").as("group_id"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_members"))
+
+  /** The surviving corpus: drop every group member except its canonical
+    * survivor (anti-join on the non-canonical ids — ids only, the corpus
+    * payload never shuffles). */
+  def survivors(df: DataFrame, idCol: String, pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val drops = components(pairs, idA, idB)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag documents whose character-n-gram overlap
+    * with a benchmark corpus exceeds `minOverlap` (fraction of the DOCUMENT's
+    * distinct shingles that appear anywhere in the benchmark).
+    *
+    * Scale shape: the benchmark shingle set is tiny next to a training
+    * corpus, so it is broadcast explicitly and the membership test is a
+    * map-side semi-join — the corpus shuffles only (id, count) rows for the
+    * per-document ratio agg (partial aggregation applies). Returns
+    * (id, n_common, n_sh) for flagged documents — integer counts only, so a
+    * SQL oracle reproduces the ratio filter bit-for-bit.
+    */
+  def contaminated(docs: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, minOverlap: Double = 0.3): DataFrame = {
+    def shingleExpr =
+      s"explode(array_distinct(transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n)))) AS sh"
+    val benchSh = benchmark.select(col(textCol).as("text"))
+      .where(length(col("text")) >= n)
+      .selectExpr(shingleExpr)
+      .distinct()
+    val docSh = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .where(length(col("text")) >= n)
+      .selectExpr("id", shingleExpr)
+    val totals = docSh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val hits = docSh.join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_common"))
+    totals.join(hits, Seq("id"))
+      .where(col("n_common").cast("double") / col("n_sh").cast("double") >= minOverlap)
+      .select(col("id"), col("n_common"), col("n_sh"))
   }
 }

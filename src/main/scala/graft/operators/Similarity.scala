@@ -58,13 +58,18 @@ object Similarity {
     * semi-joined down to candidate participants (tiny next to the corpus,
     * so AQE broadcasts them). */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      bits: Int = 16, bands: Int = 8, broadcastVerify: Boolean = true): DataFrame = {
+      bits: Int = 0, bands: Int = 8, broadcastVerify: Option[Boolean] = None,
+      broadcastVerifyMaxBytes: Long = 128L << 20): DataFrame = {
+    // scale-safe defaults (mirrors Dedup.minhashLshPairs): bits = 0 derives
+    // the banding from the corpus size, broadcastVerify = None measures the
+    // candidate-participant vector bytes instead of assuming they fit
+    val useBits = if (bits > 0) bits else lshPlan(corpus.count(), bands)._1
     val qVec = queries.select(col("qid"), gf.vec_quantize(col("vec")).as("q_q"))
     val cVec = corpus.select(col("tid"), gf.vec_quantize(col("vec")).as("q_t"))
     val qBand = queries.select(col("qid"),
-      explode(gf.sig_bands(gf.vec_sig(col("vec"), bits), bits, bands)).as("band"))
+      explode(gf.sig_bands(gf.vec_sig(col("vec"), useBits), useBits, bands)).as("band"))
     val cBand = corpus.select(col("tid"),
-      explode(gf.sig_bands(gf.vec_sig(col("vec"), bits), bits, bands)).as("band"))
+      explode(gf.sig_bands(gf.vec_sig(col("vec"), useBits), useBits, bands)).as("band"))
     val candidates = qBand.join(cBand, Seq("band"))
       .select(col("qid"), col("tid"))
       .distinct()
@@ -74,12 +79,20 @@ object Similarity {
     // semi-joins (no shuffle boundary -> no runtime stats) and a broadcast
     // keeps the (pairs x vectors) intermediate inside one codegen stage —
     // see Dedup.verifyJoin for the measured alternatives. broadcastVerify =
-    // false spreads the pairs instead (participants beyond broadcast size).
+    // Some(false) spreads the pairs instead (participants beyond broadcast).
+    val doBroadcast = broadcastVerify.getOrElse {
+      def bytes(df: DataFrame, q: String): Long = {
+        val st = df.agg(count(lit(1)),
+          coalesce(sum(size(col(q)).cast("long")), lit(0L))).head()
+        8L * st.getLong(1) + 64L * st.getLong(0)
+      }
+      bytes(qNeeded, "q_q") + bytes(tNeeded, "q_t") <= broadcastVerifyMaxBytes
+    }
     val (qSide, tSide) =
-      if (broadcastVerify) (broadcast(qNeeded), broadcast(tNeeded))
+      if (doBroadcast) (broadcast(qNeeded), broadcast(tNeeded))
       else (qNeeded, tNeeded)
     val spread =
-      if (broadcastVerify) candidates
+      if (doBroadcast) candidates
       else candidates.repartition(
         candidates.sparkSession.sessionState.conf.numShufflePartitions, col("qid"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("tid"))

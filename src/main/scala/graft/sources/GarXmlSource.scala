@@ -184,7 +184,21 @@ object GarXmlReaderFactory {
     * LocalDate object per value). Falls back to java.time for any
     * non-canonical shape. */
   def isoToEpochDay(v: String): Int = {
-    if (v.length != 10 || v.charAt(4) != '-' || v.charAt(7) != '-')
+    // the fast path must verify every digit position: "2021-0a-01" has the
+    // right length and dashes but would otherwise yield a silent garbage
+    // epoch day where LocalDate.parse raises on corrupt GAR data
+    var digitsOk = v.length == 10 && v.charAt(4) == '-' && v.charAt(7) == '-'
+    if (digitsOk) {
+      var i = 0
+      while (i < 10 && digitsOk) {
+        if (i != 4 && i != 7) {
+          val c = v.charAt(i)
+          digitsOk = c >= '0' && c <= '9'
+        }
+        i += 1
+      }
+    }
+    if (!digitsOk)
       return java.time.LocalDate.parse(v).toEpochDay.toInt
     val y0 = (v.charAt(0) - '0') * 1000 + (v.charAt(1) - '0') * 100 +
       (v.charAt(2) - '0') * 10 + (v.charAt(3) - '0')

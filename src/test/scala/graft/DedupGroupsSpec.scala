@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pair->group consolidation (connected components via large/small-star),
+  * canonical-survivor selection, decontamination, and the scale-safe
+  * minhash plan function. */
+class DedupGroupsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def comps(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.components(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Brute-force union-find oracle. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    ids.map(i => i -> find(i)).toMap
+  }
+
+  test("components: clique, disjoint pairs, path graph (worst case for label propagation)") {
+    // 1: a 5-clique given as pairs; 2: disjoint edges; 3: a long path —
+    // converges only through repeated star rounds, not one hop
+    val clique = for (a <- 10L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val disjoint = Seq((100L, 101L), (200L, 201L))
+    val path = (0L until 19L).map(i => (1000L + i, 1001L + i))
+    val all = clique ++ disjoint ++ path
+    val got = comps(all)
+    assert(got == unionFind(all))
+    assert((10L to 14L).map(got).toSet == Set(10L))
+    assert(got(1019L) == 1000L) // far end of the path reaches the minimum
+  }
+
+  test("components: random graph matches union-find; duplicate/reversed/self edges tolerated") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(300) {
+      val a = rnd.nextInt(80).toLong; val b = rnd.nextInt(80).toLong; (a, b)
+    }.filter(p => p._1 != p._2)
+    val withNoise = pairs ++ pairs.map(_.swap) ++ Seq((7L, 7L))
+    assert(comps(withNoise) == unionFind(withNoise.filter(p => p._1 != p._2)))
+  }
+
+  test("components: empty pair set and bounded rounds") {
+    assert(Dedup.components(Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+    val (df, rounds) = Dedup.componentsWithStats(
+      (0L until 19L).map(i => (i, i + 1)).toDF("id_a", "id_b"))
+    assert(df.count() == 20)
+    // large/small-star contracts a 20-node path in O(log^2 n) rounds
+    assert(rounds <= 10, s"path graph took $rounds rounds")
+  }
+
+  test("dedupGroups + survivors: canonical min-id survivor per group") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val groups = Dedup.dedupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(groups == Map(1L -> (1L, 3L), 10L -> (10L, 2L)))
+    val corpus = (1L to 12L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = Dedup.survivors(corpus, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // drops 2, 3 (group of 1) and 11 (group of 10); everything else survives
+    assert(kept == (1L to 12L).toSet -- Set(2L, 3L, 11L))
+  }
+
+  test("decontamination flags benchmark-overlapping docs only, with exact counts") {
+    val bench = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),       // identical: ratio 1.0
+      (2L, "alpha beta gamma delta and then other text"),// partial overlap
+      (3L, "completely unrelated content goes here now"),// clean
+      (4L, "xy")                                         // shorter than n
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminated(docs, bench, "doc_id", "text", n = 8, minOverlap = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.contains(1L) && !got.contains(3L) && !got.contains(4L))
+    val (c1, t1) = got(1L)
+    assert(c1 == t1) // identical doc: every shingle is in the benchmark
+    // counts match a scala-side recomputation for the partial-overlap doc
+    def sh(s: String) = s.sliding(8).toSet
+    val benchSet = sh("alpha beta gamma delta epsilon zeta")
+    val doc2 = sh("alpha beta gamma delta and then other text")
+    val expect2 = (doc2.count(benchSet.contains).toLong, doc2.size.toLong)
+    if (expect2._1.toDouble / expect2._2 >= 0.3) assert(got(2L) == expect2)
+    else assert(!got.contains(2L))
+  }
+
+  test("minhashPlan pins: scale-safe defaults at 1k / 100k / 1e9 docs") {
+    assert(Dedup.minhashPlan(1000L) == Dedup.MinhashPlan(3, 64, 16))
+    assert(Dedup.minhashPlan(100000L) == Dedup.MinhashPlan(5, 96, 16))
+    assert(Dedup.minhashPlan(1000000000L) == Dedup.MinhashPlan(7, 128, 16))
+    // monotone: more corpus never narrows shingles or rows-per-band
+    val plans = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L).map(Dedup.minhashPlan)
+    assert(plans.map(_.shingleN) == plans.map(_.shingleN).sorted)
+    assert(plans.map(_.numHashes) == plans.map(_.numHashes).sorted)
+  }
+
+  test("minhash auto-plan equals the explicit small-scale settings on a small corpus") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (2L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (3L, "a completely different sentence about catalyst internals")
+    ).toDF("doc_id", "text")
+    val auto = Dedup.minhashLshPairs(docs, "doc_id", "text", tau = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, tau = 0.7,
+      broadcastVerify = Some(true))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == explicit && auto == Set((1L, 2L)))
+  }
+}

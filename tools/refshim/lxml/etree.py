@@ -85,5 +85,15 @@ class XSLT:
     @staticmethod
     def strparam(strval):
         # the reference passes options['index'] = None when keys are off;
-        # map it to the XSLT param default (empty string)
+        # map it to the XSLT param default (empty string).
+        #
+        # KNOWN SHIM DELTA (affects the schema_*_nokeys goldens only): real
+        # lxml's strparam(None) raises TypeError — the reference CLI would
+        # crash on --no-keys under genuine libxslt, so those two goldens
+        # (schema_mysql_nokeys, schema_psql_nokeys) pin the shim-defined
+        # "index param absent => no key clauses emitted" behaviour, which is
+        # what the templates' <xsl:if test="$index"> branch does for ANY
+        # falsy value. The 5 other schema goldens pass real string params and
+        # exercise the spec-defined path. Cross-validate against libxslt on a
+        # networked machine if this path ever matters beyond the sandbox.
         return "" if strval is None else str(strval)
