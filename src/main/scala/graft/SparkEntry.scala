@@ -302,10 +302,13 @@ object SparkEntry {
 
     "q_minhash_near_dups" -> ((s, dir) => {
       import s.implicits._
-      val sample = t(s, dir, "documents").where(col("doc_id") % 10 === 0)
+      // % 20 sample: the exact inverted-index verifier is quadratic in the
+      // hot-shingle document frequency, and the parity signal (planted-pair
+      // recall + zero false positives) does not sharpen with a bigger sample
+      val sample = t(s, dir, "documents").where(col("doc_id") % 20 === 0)
         .select(col("doc_id"), col("text"))
       // planted near-identical copies: first two chars replaced (jac ~0.97)
-      val planted = sample.where(col("doc_id") % 20 === 0)
+      val planted = sample.where(col("doc_id") % 40 === 0)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"),
           concat(lit("zq"), substring(col("text"), 3, 1000000)).as("text"))
       val docs = sample.unionByName(planted)
@@ -716,11 +719,11 @@ object SparkEntry {
 
     "q_minhash_near_dups" ->
       """WITH sample_docs AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
         |all_docs AS (
         |  SELECT doc_id, text FROM sample_docs
         |  UNION ALL
-        |  SELECT doc_id + 1000000, 'zq' || substring(text, 3) FROM sample_docs WHERE doc_id % 20 = 0),
+        |  SELECT doc_id + 1000000, 'zq' || substring(text, 3) FROM sample_docs WHERE doc_id % 40 = 0),
         |docs AS (SELECT doc_id, text FROM all_docs WHERE length(text) >= 3),
         |sh AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 3) AS g
         |       FROM docs, range(1, 65536) t(i) WHERE i <= length(text) - 2),

@@ -62,7 +62,9 @@ object Dedup {
     * unconditional broadcast OOMed at the 300k-doc soak until the BANDING
     * was scaled): pairs spread across the full shuffle width before the fat
     * joins. The first-order fix at scale is always fewer junk candidates —
-    * more hashes per band (see Similarity.lshPlan) and/or maxBandSize. */
+    * more hashes per band (see Similarity.lshPlan) and/or maxBandSize.
+    * Since round 4 the public operators choose this flag from the MEASURED
+    * participant size when the caller leaves it unset. */
   private def verifyJoin(candidates: DataFrame, lookup: DataFrame,
       broadcastVerify: Boolean): DataFrame = {
     val aSide = lookup.toDF(lookup.columns.map(c => s"${c}_a"): _*)
