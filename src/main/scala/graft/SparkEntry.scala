@@ -399,6 +399,16 @@ object SparkEntry {
       graft.operators.Dedup.dedupGroups(pairs)
     }),
 
+    "q_dedup_survivors" -> ((s, dir) => {
+      // the end-to-end dedup answer: corpus in -> cleaned corpus out. The
+      // surviving doc ids themselves are the oracle surface (row-for-row).
+      val sample = t(s, dir, "documents").where(col("doc_id") % 20 === 0)
+      val pairs = graft.operators.Dedup
+        .ngramJaccardPairs(sample, "doc_id", "text", n = 3, tau = 0.5)
+      graft.operators.Dedup.survivors(sample, "doc_id", pairs)
+        .select(col("doc_id"))
+    }),
+
     "q_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: docs sharing >=30% of their distinct
       // 8-grams with the (broadcast) benchmark shingle set are flagged
@@ -785,6 +795,28 @@ object SparkEntry {
         |comp AS (SELECT u AS id, least(u, min(v)) AS component FROM closure GROUP BY u)
         |SELECT component AS group_id, min(id) AS keep_id, count(*) AS n_members
         |FROM comp GROUP BY component""".stripMargin,
+
+    "q_dedup_survivors" ->
+      """WITH RECURSIVE sample_docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |docs3 AS (SELECT doc_id, text FROM sample_docs WHERE length(text) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 3) AS g
+        |       FROM docs3, range(1, 65536) t(i) WHERE i <= length(text) - 2),
+        |counts AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT ia AS id_a, ib AS id_b FROM (
+        |    SELECT a.doc_id ia, b.doc_id ib, count(*) c
+        |    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) p
+        |  JOIN counts ca ON ca.doc_id = ia JOIN counts cb ON cb.doc_id = ib
+        |  WHERE CAST(c AS DOUBLE) / CAST(ca.n + cb.n - c AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |closure(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u WHERE e.v <> c.u),
+        |comp AS (SELECT u AS id, least(u, min(v)) AS component FROM closure GROUP BY u)
+        |SELECT doc_id FROM sample_docs
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin,
 
     "q_decontaminate" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),

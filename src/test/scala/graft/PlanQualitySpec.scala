@@ -159,4 +159,32 @@ class PlanQualitySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), plan) // fused stage marker
   }
+
+  test("decontamination: benchmark membership is a broadcast semi-join; ratio agg is partial") {
+    // the 100 TB shape: the benchmark shingle set broadcasts (it is tiny
+    // next to a training corpus), the exploded corpus shingles NEVER
+    // sort-merge against it, and the per-doc counts partial-aggregate
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "unrelated words here entirely"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
+    val plan = graft.operators.Dedup.contaminated(docs, bench, "doc_id", "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan) // partial + final
+  }
+
+  test("connected components: every star-round shuffle carries (u, v) id pairs only") {
+    // the consolidation pass must stay ids-only end to end — a payload column
+    // smuggled into the pair graph would ride EVERY round's shuffles
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val assignment = graft.operators.Dedup.components(pairs)
+    assert(assignment.columns.toSeq == Seq("id", "component"))
+    // the final assignment aggregate groups ids only (no wide rows)
+    val optimized = assignment.queryExecution.optimizedPlan
+    optimized.foreach { node =>
+      assert(node.output.map(_.name).forall(Set("id", "component", "u", "v", "m", "mv")),
+        s"component plan carries unexpected columns: ${node.output.map(_.name)}")
+    }
+  }
 }
