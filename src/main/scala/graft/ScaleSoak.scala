@@ -134,6 +134,33 @@ object ScaleSoak {
       require(nGroups == 1L + expectedEditPairs, s"groups: got $nGroups, want ${1 + expectedEditPairs}")
       nGroups
     }
+    // surviving corpus: every group loses all but its min-id member
+    timed("survivors_full") {
+      graft.operators.Dedup.survivors(docs, "doc_id", minhashPairs).count()
+    }
+    require(stats("survivors_full") == nDocs - 599L - expectedEditPairs,
+      s"survivors: got ${stats("survivors_full")}, want ${nDocs - 599 - expectedEditPairs}")
+    // benchmark decontamination at corpus scale: every 500th doc is the
+    // benchmark. Shingle width matters on this tiny-vocab corpus: 8-grams
+    // span ~1.6 words and the 200-doc benchmark covers nearly every common
+    // word bigram (a first run flagged 99,800 of 99,800 docs); 16-grams
+    // span ~3 words, where ambient overlap vanishes and exactly the PLANTED
+    // contamination remains: each doc 500k+1 is a one-word-edit of
+    // benchmark doc 500k, and the benchmark samples the boilerplate clique
+    // (docs nDocs/2 and nDocs/2+500), so the clique's other 598 members are
+    // template-contaminated.
+    // the two 500k+1 docs inside the clique window (nDocs/2+1, nDocs/2+501)
+    // are clique members, not separate edit-pairs
+    val expectedContaminated = nDocs / 500 - 2 + 598
+    timed("decontaminate_full") {
+      val bench = docs.where(col("doc_id") % 500 === 0)
+      graft.operators.Dedup.contaminated(
+        docs.where(col("doc_id") % 500 =!= 0), bench,
+        "doc_id", "text", n = 16, minOverlap = 0.3).count()
+    }
+    if (nDocs % 1000 == 0)
+      require(stats("decontaminate_full") == expectedContaminated,
+        s"decontamination planted answer: got ${stats("decontaminate_full")}, want $expectedContaminated")
     timed("simhash_full") {
       graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count()
     }

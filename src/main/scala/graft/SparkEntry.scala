@@ -409,6 +409,21 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    "q_clean_corpus" -> ((s, dir) => {
+      // the WHOLE training-data cleaning pipeline in one call: exact dedup
+      // -> near-dup pairs -> group consolidation -> canonical survivors ->
+      // benchmark decontamination. The exact pair source makes every stage
+      // DuckDB-reproducible; the surviving ids are the oracle surface.
+      val docsAll = t(s, dir, "documents")
+      val sample = docsAll.where(col("doc_id") % 20 === 0)
+      val bench = docsAll.where(col("doc_id") % 97 === 0)
+      graft.operators.Dedup.cleanCorpus(sample, "doc_id", "text", bench,
+        tau = 0.5, contamN = 8, maxContamOverlap = 0.3,
+        pairSource = d => graft.operators.Dedup
+          .ngramJaccardPairs(d, "doc_id", "text", n = 3, tau = 0.5))
+        .select(col("doc_id"))
+    }),
+
     "q_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: docs sharing >=30% of their distinct
       // 8-grams with the (broadcast) benchmark shingle set are flagged
@@ -817,6 +832,41 @@ object SparkEntry {
         |comp AS (SELECT u AS id, least(u, min(v)) AS component FROM closure GROUP BY u)
         |SELECT doc_id FROM sample_docs
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin,
+
+    "q_clean_corpus" ->
+      """WITH RECURSIVE sample0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |dedup AS (SELECT min(doc_id) AS doc_id, text FROM sample0 GROUP BY text),
+        |docs3 AS (SELECT doc_id, text FROM dedup WHERE length(text) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 3) AS g
+        |       FROM docs3, range(1, 65536) t(i) WHERE i <= length(text) - 2),
+        |counts AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT ia AS id_a, ib AS id_b FROM (
+        |    SELECT a.doc_id ia, b.doc_id ib, count(*) c
+        |    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) p
+        |  JOIN counts ca ON ca.doc_id = ia JOIN counts cb ON cb.doc_id = ib
+        |  WHERE CAST(c AS DOUBLE) / CAST(ca.n + cb.n - c AS DOUBLE) >= 0.5),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |closure(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT c.u, e.v FROM closure c JOIN edges e ON c.v = e.u WHERE e.v <> c.u),
+        |comp AS (SELECT u AS id, least(u, min(v)) AS component FROM closure GROUP BY u),
+        |kept AS (SELECT doc_id, text FROM dedup
+        |         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)),
+        |bdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0 AND length(text) >= 8),
+        |bsh AS (SELECT DISTINCT substring(text, CAST(i AS INT), 8) g
+        |        FROM bdocs, range(1, 65536) t(i) WHERE i <= length(text) - 7),
+        |ksh AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 8) g
+        |        FROM kept, range(1, 65536) t(i)
+        |        WHERE length(text) >= 8 AND i <= length(text) - 7),
+        |tot AS (SELECT doc_id, count(*) n_sh FROM ksh GROUP BY doc_id),
+        |hit AS (SELECT doc_id, count(*) n_common FROM ksh
+        |        WHERE g IN (SELECT g FROM bsh) GROUP BY doc_id),
+        |dirty AS (SELECT t.doc_id FROM tot t JOIN hit h USING (doc_id)
+        |          WHERE CAST(h.n_common AS DOUBLE) / CAST(t.n_sh AS DOUBLE) >= 0.3)
+        |SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dirty)""".stripMargin,
 
     "q_decontaminate" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),

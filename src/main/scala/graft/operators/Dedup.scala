@@ -354,6 +354,34 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /**
+   * One-call training-data corpus cleaning — the composition an actual
+   * pipeline ships, each stage the scale shape proven above:
+   *
+   *   1. exact dedup (hash groupBy, min-id winner per identical text);
+   *   2. near-dup pairs over the exact-deduped corpus (`pairSource`;
+   *      defaults to knob-free [[minhashLshPairs]] at `tau` — inject
+   *      [[ngramJaccardPairs]] for an exact, SQL-oracle-able run);
+   *   3. pair->group consolidation + canonical survivors
+   *      ([[components]]/[[survivors]]);
+   *   4. benchmark decontamination ([[contaminated]] anti-join).
+   *
+   * Returns the surviving rows of `docs` (original columns).
+   */
+  def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, tau: Double = 0.7,
+      contamN: Int = 8, maxContamOverlap: Double = 0.3,
+      pairSource: DataFrame => DataFrame = null): DataFrame = {
+    val deduped = exactRows(docs, idCol, textCol)
+    val pairs =
+      if (pairSource != null) pairSource(deduped)
+      else minhashLshPairs(deduped, idCol, textCol, tau = tau)
+    val kept = survivors(deduped, idCol, pairs.select(col("id_a"), col("id_b")))
+    val dirty = contaminated(kept, benchmark, idCol, textCol, contamN, maxContamOverlap)
+      .select(col("id").as(idCol))
+    kept.join(dirty, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------- decontamination
 
   /** Benchmark decontamination: flag documents whose character-n-gram overlap

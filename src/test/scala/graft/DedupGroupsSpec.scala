@@ -95,6 +95,25 @@ class DedupGroupsSpec extends AnyFunSuite {
     else assert(!got.contains(2L))
   }
 
+  test("cleanCorpus: exact dups, near-dup group members and contaminated docs all removed") {
+    val bench = Seq((100L, "benchmark question about alpha beta gamma delta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),     // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"),     // near dup of 1
+      (4L, "benchmark question about alpha beta gamma delta"), // contaminated
+      (5L, "a fully independent document with its own words")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.cleanCorpus(docs, "doc_id", "text", bench, tau = 0.5,
+      pairSource = d => Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, tau = 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L))
+    // default pair source (knob-free minhash) reaches the same answer here
+    val keptAuto = Dedup.cleanCorpus(docs, "doc_id", "text", bench, tau = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptAuto == Set(1L, 5L))
+  }
+
   test("minhashPlan pins: scale-safe defaults at 1k / 100k / 1e9 docs") {
     assert(Dedup.minhashPlan(1000L) == Dedup.MinhashPlan(3, 64, 16))
     assert(Dedup.minhashPlan(100000L) == Dedup.MinhashPlan(5, 96, 16))
