@@ -435,6 +435,20 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_common"), col("n_sh"))
     }),
 
+    "q_sample_split" -> ((s, dir) => {
+      // deterministic (task-retry-stable, cross-engine-reproducible)
+      // train/val/test assignment + an independent 25% hash sample within
+      // each split — integer modular arithmetic, never rand()
+      val docs = t(s, dir, "documents")
+      val withSplit = graft.operators.Sampling.assignSplit(docs, "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      val sampled = graft.operators.Sampling.gate(col("doc_id"), salt = 99L) <
+        lit((0.25 * graft.operators.Sampling.Mod).toLong)
+      withSplit.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(sampled, 1L).otherwise(0L)).as("n_sampled"))
+    }),
+
     "q_ann_recall" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
@@ -452,8 +466,15 @@ object SparkEntry {
       // (bits = 0) targets near-dup selectivity at corpus scale
       val ann = graft.operators.Similarity.annTopK(queries, corpus, k = 3,
         bits = 16, bands = 8).cache()
-      val ivf = graft.operators.Similarity.ivfTopK(queries, corpus, k = 3,
-        kCentroids = 16, nProbe = 8, kmeansIters = 1).cache()
+      // the IVF variant reuses the per-sf persisted index's quantizer
+      // (IvfIndex.ensure: same kCentroids/kmeansIters) — the recall measured
+      // here is the recall OF THE INDEX AT REST, and the per-run
+      // sample+Lloyd rebuild disappears from the harness
+      val idxDir = graft.operators.IvfIndex.ensure(s, sfOf(dir), corpus,
+        kCentroids = 16, kmeansIters = 1)
+      val cents = graft.operators.IvfIndex.readCentroids(s, s"$idxDir/centroids.txt")
+      val ivf = graft.operators.Similarity.ivfTopKWith(queries, corpus, k = 3,
+        cents, nProbe = 8).cache()
       try {
         val nExact = brute.count()
         val nAnn = ann.count()
@@ -879,6 +900,26 @@ object SparkEntry {
         |SELECT t.doc_id, h.n_common, t.n_sh
         |FROM tot t JOIN hit h ON t.doc_id = h.doc_id
         |WHERE CAST(h.n_common AS DOUBLE) / CAST(t.n_sh AS DOUBLE) >= 0.3""".stripMargin,
+
+    // thresholds are PRE-FLOORED integers: Scala's (rate*Mod).toLong
+    // truncates while DuckDB's CAST(double AS BIGINT) rounds — a literal
+    // keeps both engines on the same side of every gate boundary.
+    // 0.8*M=1717986917, 0.9*M=1932735282, 0.25*M=536870911 (M=2^31-1).
+    "q_sample_split" ->
+      """WITH x AS (SELECT doc_id,
+        |    ((doc_id % 2147483647) * 48271 + 7) % 2147483647 AS x7,
+        |    ((doc_id % 2147483647) * 48271 + 99) % 2147483647 AS x99
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    (((x7 * x7) % 2147483647) * 48271) % 2147483647 AS gate7,
+        |    (((x99 * x99) % 2147483647) * 48271) % 2147483647 AS gate99
+        |  FROM x)
+        |SELECT CASE WHEN gate7 < 1717986917 THEN 'train'
+        |            WHEN gate7 < 1932735282 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN gate99 < 536870911 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM g GROUP BY 1""".stripMargin,
 
     "q_token_stats" ->
       """SELECT source, count(*) AS n_docs,
