@@ -141,9 +141,14 @@ object Bench {
     println(line)
     // machine-readable copy: sbt wraps stdout in [info] noise, so the driver's
     // JSON parse of the captured output can fail ("parsed": null in
-    // BENCH_r03.json) — the file is the authoritative artifact
-    java.nio.file.Files.writeString(
+    // BENCH_r03.json) — the file is the authoritative artifact. A bad output
+    // path must not crash the bench AFTER all queries ran (stdout still
+    // carries the line).
+    try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write bench artifact: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

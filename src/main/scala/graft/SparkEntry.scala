@@ -312,8 +312,12 @@ object SparkEntry {
         .select((col("doc_id") + lit(1000000L)).as("doc_id"),
           concat(lit("zq"), substring(col("text"), 3, 1000000)).as("text"))
       val docs = sample.unionByName(planted)
+      // shingleN is PINNED to 3: the DuckDB exact verifier is 3-gram, and
+      // the auto plan would widen shingles past a 30k-doc sample, silently
+      // breaking the found-subset-of-exact contract. Banding + broadcast
+      // choice stay auto (each zeroed knob fills independently).
       val found = graft.operators.Dedup
-        .minhashLshPairs(docs, "doc_id", "text", tau = 0.5) // all-auto plan
+        .minhashLshPairs(docs, "doc_id", "text", shingleN = 3, tau = 0.5)
         .select(col("id_a"), col("id_b")).cache()
       val exactP = graft.operators.Dedup
         .ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
@@ -334,7 +338,11 @@ object SparkEntry {
 
     "q_simhash_near_dups" -> ((s, dir) => {
       import s.implicits._
+      // %10 sample: the exact verifier below is an all-pairs Hamming join —
+      // quadratic by construction — so the parity harness bounds its domain
+      // (the certified-completeness claim is scale-free either way)
       val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .where(col("doc_id") % 10 === 0)
       // planted exact copies: simhash distance 0, certainly within hamming 3
       val docsAll = base.unionByName(base.where(col("doc_id") % 50 === 0)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
@@ -785,7 +793,7 @@ object SparkEntry {
         |FROM j""".stripMargin,
 
     "q_simhash_near_dups" ->
-      """SELECT CAST((SELECT count(*) FROM documents)
+      """SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 10 = 0)
         |     + (SELECT count(*) FROM documents WHERE doc_id % 50 = 0) AS BIGINT) AS n_docs,
         |  true AS has_pairs,
         |  CAST(0 AS BIGINT) AS sym_diff""".stripMargin,

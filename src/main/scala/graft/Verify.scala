@@ -18,8 +18,10 @@ object Verify {
     // plan audits live in a SIBLING of outDir: the external compare driver
     // globs outDir/* as parquet query results, so anything else in there
     // (even an underscore dir) shows up as a spurious failing row in
-    // CORRECTNESS_r*.json (it did, in round 3)
-    val plansDir = new java.io.File(new java.io.File(outDir).getAbsoluteFile.getParent, "verify_plans")
+    // CORRECTNESS_r*.json (it did, in round 3). Keyed by the outDir name so
+    // per-sf runs sharing a parent don't overwrite each other's audits.
+    val outFile = new java.io.File(outDir).getAbsoluteFile
+    val plansDir = new java.io.File(outFile.getParent, s"${outFile.getName}_verify_plans")
     plansDir.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.expr.gf
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -33,6 +33,17 @@ object Dedup {
     if (nDocs <= 30000L) MinhashPlan(3, 64, 16)          // r=4, threshold ~0.50
     else if (nDocs <= 30000000L) MinhashPlan(5, 96, 16)  // r=6, threshold ~0.63
     else MinhashPlan(7, 128, 16)                         // r=8, threshold ~0.71
+
+  /** Estimated in-memory bytes of a verification lookup: 8 bytes per array
+    * element (shingle hash / quantized vector component; `elems` counts them
+    * per row) + 64 bytes row overhead. ONE shared estimator for every
+    * operator that auto-selects broadcast-vs-shuffle verification
+    * (minhashLshPairs / embeddingPairs / Similarity.annTopK), so the
+    * calibration cannot drift between them. */
+  private[operators] def lookupBytes(df: DataFrame, elems: Column): Long = {
+    val st = df.agg(count(lit(1)), coalesce(sum(elems.cast("long")), lit(0L))).head()
+    8L * st.getLong(1) + 64L * st.getLong(0)
+  }
 
   /** Exact dedup: one winner (min id) per identical text; adds dup_count. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -153,9 +164,8 @@ object Dedup {
     // operator's final physical plan is identical whether the choice was
     // measured or forced (the plan-quality gates inspect it).
     val doBroadcast = broadcastVerify.getOrElse {
-      val st = docs.join(candidateIds, Seq("id"), "left_semi")
-        .agg(count(lit(1)), coalesce(sum(length(col("text")).cast("long")), lit(0L))).head()
-      8L * st.getLong(1) + 64L * st.getLong(0) <= broadcastVerifyMaxBytes
+      lookupBytes(docs.join(candidateIds, Seq("id"), "left_semi"),
+        length(col("text"))) <= broadcastVerifyMaxBytes
     }
     val needed = docs.join(candidateIds, Seq("id"), "left_semi")
       .select(col("id"), gf.shingle_hashes(col("text"), plan.shingleN).as("sh"))
@@ -251,9 +261,7 @@ object Dedup {
       .distinct()
     val needed = vecs.join(candidateIds, Seq("id"), "left_semi")
     val doBroadcast = broadcastVerify.getOrElse {
-      val st = needed.agg(count(lit(1)),
-        coalesce(sum(size(col("q")).cast("long")), lit(0L))).head()
-      8L * st.getLong(1) + 64L * st.getLong(0) <= broadcastVerifyMaxBytes
+      lookupBytes(needed, size(col("q"))) <= broadcastVerifyMaxBytes
     }
     verifyJoin(candidates, needed, doBroadcast)
       .withColumn("cos", gf.vec_cos_q(col("q_a"), col("q_b")))
@@ -323,10 +331,15 @@ object Dedup {
       rounds += 1
     }
     // at the fixed point edges form stars (member -> component minimum);
-    // roots map to themselves
+    // roots map to themselves. The assignment is finalized with its own
+    // localCheckpoint so the (larger) converged edge blocks can be freed
+    // NOW rather than when the ContextCleaner eventually GCs them; callers
+    // holding the result long-term may unpersist() it when done.
     val assignment = edges.select(col("u").as("id"), col("v").as("component"))
       .unionByName(edges.select(col("v").as("id"), col("v").as("component")))
       .groupBy("id").agg(min(col("component")).as("component"))
+      .localCheckpoint(true)
+    edges.unpersist()
     (assignment, rounds)
   }
 

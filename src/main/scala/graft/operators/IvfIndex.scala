@@ -42,7 +42,10 @@ object IvfIndex {
     * call rebuilds with overwrite (torn-write healing, like Lineage). */
   def ensure(spark: SparkSession, sf: Double, corpus: => DataFrame,
       kCentroids: Int = 16, kmeansIters: Int = 1): String = {
-    val dir = s"target/synth/sf$sf/ivf"
+    // the build parameters are part of the index IDENTITY: a marker keyed
+    // by sf alone would silently serve a stale 16-centroid index to a
+    // caller asking for 64 centroids
+    val dir = s"target/synth/sf$sf/ivf_k${kCentroids}_i$kmeansIters"
     val marker = new Path(dir, "_BUILT")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def done = fs.exists(marker)

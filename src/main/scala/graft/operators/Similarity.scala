@@ -81,12 +81,8 @@ object Similarity {
     // see Dedup.verifyJoin for the measured alternatives. broadcastVerify =
     // Some(false) spreads the pairs instead (participants beyond broadcast).
     val doBroadcast = broadcastVerify.getOrElse {
-      def bytes(df: DataFrame, q: String): Long = {
-        val st = df.agg(count(lit(1)),
-          coalesce(sum(size(col(q)).cast("long")), lit(0L))).head()
-        8L * st.getLong(1) + 64L * st.getLong(0)
-      }
-      bytes(qNeeded, "q_q") + bytes(tNeeded, "q_t") <= broadcastVerifyMaxBytes
+      Dedup.lookupBytes(qNeeded, size(col("q_q"))) +
+        Dedup.lookupBytes(tNeeded, size(col("q_t"))) <= broadcastVerifyMaxBytes
     }
     val (qSide, tSide) =
       if (doBroadcast) (broadcast(qNeeded), broadcast(tNeeded))

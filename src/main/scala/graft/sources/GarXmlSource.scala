@@ -204,6 +204,10 @@ object GarXmlReaderFactory {
       (v.charAt(2) - '0') * 10 + (v.charAt(3) - '0')
     val m = (v.charAt(5) - '0') * 10 + (v.charAt(6) - '0')
     val d = (v.charAt(8) - '0') * 10 + (v.charAt(9) - '0')
+    // range-invalid digits ("0000-00-00" sentinels, month 13+, day 32+)
+    // must raise like LocalDate.parse, not arithmetic into a garbage epoch
+    if (m < 1 || m > 12 || d < 1 || d > 31)
+      return java.time.LocalDate.parse(v).toEpochDay.toInt
     val y = if (m <= 2) y0 - 1 else y0
     val era = (if (y >= 0) y else y - 399) / 400
     val yoe = y - era * 400
