@@ -204,9 +204,14 @@ object GarXmlReaderFactory {
       (v.charAt(2) - '0') * 10 + (v.charAt(3) - '0')
     val m = (v.charAt(5) - '0') * 10 + (v.charAt(6) - '0')
     val d = (v.charAt(8) - '0') * 10 + (v.charAt(9) - '0')
-    // range-invalid digits ("0000-00-00" sentinels, month 13+, day 32+)
-    // must raise like LocalDate.parse, not arithmetic into a garbage epoch
-    if (m < 1 || m > 12 || d < 1 || d > 31)
+    // range-invalid digits ("0000-00-00" sentinels, month 13+, Apr 31,
+    // non-leap Feb 29) must raise like LocalDate.parse, not arithmetic
+    // into the next month's epoch day
+    val dim =
+      if (m == 2) { if ((y0 % 4 == 0 && y0 % 100 != 0) || y0 % 400 == 0) 29 else 28 }
+      else if (m == 4 || m == 6 || m == 9 || m == 11) 30
+      else 31
+    if (m < 1 || m > 12 || d < 1 || d > dim)
       return java.time.LocalDate.parse(v).toEpochDay.toInt
     val y = if (m <= 2) y0 - 1 else y0
     val era = (if (y >= 0) y else y - 399) / 400

@@ -126,4 +126,16 @@ class GarXmlSourceSpec extends AnyFunSuite {
       "src/test/resources/ref_goldens/tsv_region_tree/01/HOUSES_PARAMS.tsv")), "UTF-8")
     assert(got == gold)
   }
+
+  test("isoToEpochDay: fast path == LocalDate; corrupt values raise, never arithmetic garbage") {
+    import graft.sources.GarXmlReaderFactory.isoToEpochDay
+    for (s <- Seq("1970-01-01", "2021-07-23", "1899-12-31", "2400-02-29", "0001-01-01"))
+      assert(isoToEpochDay(s) == java.time.LocalDate.parse(s).toEpochDay, s)
+    // corrupt-but-shaped values must raise via the LocalDate fallback:
+    // non-digit in a digit slot, month/day out of range, sentinel zeros
+    for (bad <- Seq("2021-0a-01", "2021-13-01", "2021-00-10", "2021-01-00",
+        "2021-01-32", "0000-00-00", "2021/01/01x",
+        "2021-04-31", "2021-02-29", "2100-02-29", "2020-02-30"))
+      assertThrows[java.time.format.DateTimeParseException](isoToEpochDay(bad))
+  }
 }
