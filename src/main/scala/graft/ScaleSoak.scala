@@ -177,6 +177,27 @@ object ScaleSoak {
     }
     assertPlanted(stats("decontaminate_full") == expectedContaminated,
       s"decontamination planted answer: got ${stats("decontaminate_full")}, want $expectedContaminated")
+    // incremental dedup at rest: index the 100k corpus ONCE, then dedup a
+    // 10% new batch against it. Every 10th new doc is an exact clone of an
+    // old doc, so the planted answer is nDocs/100 clone pairs plus the
+    // nDocs/500 cases where the cloned doc's old (i%50) edit-neighbour also
+    // crosses tau. (The new batch's own i%50==1 edit pairs vanish by
+    // construction: their predecessors are always clone slots.)
+    timed("minhash_index_build") {
+      graft.operators.MinhashIndex.build(docs, "doc_id", "text",
+        "target/soak/minhash_idx")
+      nDocs
+    }
+    timed("incremental_dedup") {
+      val newBatch = spark.range(nDocs, nDocs + nDocs / 10, 1, 64)
+        .map(i => (i, if (i % 10 == 0) docText(i - nDocs, nDocs / 2, 600)
+                      else docText(i, nDocs / 2, 600)))
+        .toDF("doc_id", "text")
+      graft.operators.MinhashIndex.queryNew(spark, "target/soak/minhash_idx",
+        newBatch, "doc_id", "text", tau = 0.5).count()
+    }
+    assertPlanted(stats("incremental_dedup") == nDocs / 100 + nDocs / 500,
+      s"incremental planted answer: got ${stats("incremental_dedup")}, want ${nDocs / 100 + nDocs / 500}")
     timed("simhash_full") {
       graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count()
     }

@@ -443,6 +443,41 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_common"), col("n_sh"))
     }),
 
+    "q_incremental_dedup" -> ((s, dir) => {
+      // incremental dedup at rest: a NEW batch deduped against the
+      // persisted minhash index of the OLD corpus must equal the full-batch
+      // operator restricted to pairs involving a new doc (same plan, same
+      // deterministic hash family), and every pair it emits must pass the
+      // independent exact-Jaccard bar. Zeros are structural; n_exact_new
+      // is recomputed by DuckDB.
+      import s.implicits._
+      val universe = t(s, dir, "documents").where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val newB = universe.where(col("doc_id") % 20 === 0)
+      val oldB = universe.where(col("doc_id") % 20 =!= 0)
+      val idxDir = graft.operators.MinhashIndex.ensure(s, sfOf(dir), "old5x20",
+        oldB, "doc_id", "text", shingleN = 3)
+      val incr = graft.operators.MinhashIndex
+        .queryNew(s, idxDir, newB, "doc_id", "text", tau = 0.5)
+        .select(col("id_a"), col("id_b")).cache()
+      val plan = graft.operators.MinhashIndex.readPlan(s, s"$idxDir/plan.txt")
+      val full = graft.operators.Dedup.minhashLshPairs(universe, "doc_id", "text",
+          shingleN = plan.shingleN, numHashes = plan.numHashes, bands = plan.bands,
+          tau = 0.5)
+        .where(col("id_a") % 20 === 0 || col("id_b") % 20 === 0)
+        .select(col("id_a"), col("id_b")).cache()
+      val exactNew = graft.operators.Dedup
+        .ngramJaccardPairs(universe, "doc_id", "text", n = 3, tau = 0.5)
+        .where(col("id_a") % 20 === 0 || col("id_b") % 20 === 0)
+        .select(col("id_a"), col("id_b")).cache()
+      try {
+        Seq((newB.count(), exactNew.count(),
+          incr.exceptAll(exactNew).count(),
+          incr.exceptAll(full).count() + full.exceptAll(incr).count()))
+          .toDF("n_new", "n_exact_new", "n_incr_extra", "incr_vs_full_diff")
+      } finally { incr.unpersist(); full.unpersist(); exactNew.unpersist() }
+    }),
+
     "q_sample_split" -> ((s, dir) => {
       // deterministic (task-retry-stable, cross-engine-reproducible)
       // train/val/test assignment + an independent 25% hash sample within
@@ -908,6 +943,22 @@ object SparkEntry {
         |SELECT t.doc_id, h.n_common, t.n_sh
         |FROM tot t JOIN hit h ON t.doc_id = h.doc_id
         |WHERE CAST(h.n_common AS DOUBLE) / CAST(t.n_sh AS DOUBLE) >= 0.3""".stripMargin,
+
+    "q_incremental_dedup" ->
+      """WITH universe AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 3) AS g
+        |       FROM universe, range(1, 65536) t(i) WHERE i <= length(text) - 2),
+        |counts AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id ia, b.doc_id ib, count(*) c
+        |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT ia, ib, CAST(c AS DOUBLE) / CAST(ca.n + cb.n - c AS DOUBLE) jac
+        |      FROM p JOIN counts ca ON ca.doc_id = ia JOIN counts cb ON cb.doc_id = ib)
+        |SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 20 = 0) AS BIGINT) AS n_new,
+        |  CAST(count(*) FILTER (jac >= 0.5 AND (ia % 20 = 0 OR ib % 20 = 0)) AS BIGINT) AS n_exact_new,
+        |  CAST(0 AS BIGINT) AS n_incr_extra,
+        |  CAST(0 AS BIGINT) AS incr_vs_full_diff
+        |FROM j""".stripMargin,
 
     // thresholds are PRE-FLOORED integers: Scala's (rate*Mod).toLong
     // truncates while DuckDB's CAST(double AS BIGINT) rounds — a literal

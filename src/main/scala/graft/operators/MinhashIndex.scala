@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.expr.gf
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets
+
+/**
+ * PERSISTED minhash-LSH index — incremental dedup at rest. A 100 TB corpus
+ * is not re-paired when a new shard arrives: the corpus's band keys and
+ * per-doc shingle-hash arrays are written ONCE; deduping a new batch is
+ *
+ *   new-batch bands  ⋈  stored bands   (ids-only equi-join)
+ *   + new-batch self-join               (new×new pairs)
+ *   → exact Jaccard verification        (stored shingle arrays re-read only
+ *                                        for candidate participants)
+ *
+ * which touches O(|new| + candidates) rows instead of O(|corpus|). The
+ * result equals the full-batch [[Dedup.minhashLshPairs]] over old ∪ new,
+ * restricted to pairs involving a new document (same deterministic hash
+ * family + the SAME immutable plan, persisted with the index) — an
+ * engine-parity invariant the oracle pins.
+ *
+ * Layout under `dir`: `bands/` (band, id), `shingles/` (id, sh sorted
+ * hashes), `plan.txt` (shingleN,numHashes,bands — queries and appends MUST
+ * reuse it; a mixed-plan index is garbage), `_BUILT` marker committed last
+ * (torn-write healing, as IvfIndex/Lineage).
+ */
+object MinhashIndex {
+
+  private val bandSchema = StructType(Seq(
+    StructField("band", LongType, nullable = false),
+    StructField("id", LongType, nullable = false)))
+  private val shingleSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("sh", ArrayType(LongType, containsNull = false), nullable = true)))
+
+  /** Build the index over `docs` (idCol must be LongType). 0-knobs derive
+    * the plan from [[Dedup.minhashPlan]] on the corpus size. */
+  def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
+      shingleN: Int = 0, numHashes: Int = 0, bands: Int = 0): Dedup.MinhashPlan = {
+    val spark = docs.sparkSession
+    val plan = {
+      val auto = Dedup.minhashPlan(docs.count())
+      Dedup.MinhashPlan(
+        if (shingleN > 0) shingleN else auto.shingleN,
+        if (numHashes > 0) numHashes else auto.numHashes,
+        if (bands > 0) bands else auto.bands)
+    }
+    writeParts(docs, idCol, textCol, dir, plan, overwrite = true)
+    writePlan(spark, s"$dir/plan.txt", plan)
+    val marker = new Path(dir, "_BUILT")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).create(marker, true).close()
+    plan
+  }
+
+  /** Append a new batch to the index (AFTER it has been deduped via
+    * [[queryNew]] — the index stores whatever it is given). Uses the
+    * persisted plan. */
+  def append(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit =
+    writeParts(docs, idCol, textCol, dir, readPlan(spark, s"$dir/plan.txt"),
+      overwrite = false)
+
+  private def writeParts(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, plan: Dedup.MinhashPlan, overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    base.select(
+        explode(gf.lsh_bands(gf.minhash_sig(col("text"), plan.shingleN, plan.numHashes),
+          plan.bands)).as("band"),
+        col("id"))
+      .write.mode(mode).parquet(s"$dir/bands")
+    base.select(col("id"), gf.shingle_hashes(col("text"), plan.shingleN).as("sh"))
+      .write.mode(mode).parquet(s"$dir/shingles")
+  }
+
+  /** Dedup a new batch against the index: returns (id_a, id_b, jaccard)
+    * with id_a < id_b, covering new×stored AND new×new pairs at
+    * jaccard >= tau — exactly the full-batch pairs that involve a new doc. */
+  def queryNew(spark: SparkSession, dir: String, newDocs: DataFrame,
+      idCol: String, textCol: String, tau: Double = 0.7,
+      broadcastVerify: Boolean = true): DataFrame = {
+    val plan = readPlan(spark, s"$dir/plan.txt")
+    val docs = newDocs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val newBands = docs.select(col("id"),
+      explode(gf.lsh_bands(gf.minhash_sig(col("text"), plan.shingleN, plan.numHashes),
+        plan.bands)).as("band"))
+    val stored = spark.read.schema(bandSchema).parquet(s"$dir/bands")
+    // new×stored candidates: ids-only through the band join; new×new via
+    // self-join — both normalized to (id_a < id_b) before the distinct
+    val crossPairs = newBands.join(stored.withColumnRenamed("id", "old_id"), "band")
+      .where(col("id") =!= col("old_id"))
+      .select(least(col("id"), col("old_id")).as("id_a"),
+        greatest(col("id"), col("old_id")).as("id_b"))
+    val selfPairs = newBands.select(col("id").as("id_a"), col("band"))
+      .join(newBands.select(col("id").as("id_b"), col("band")), Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val candidates = crossPairs.unionByName(selfPairs).distinct()
+    val candidateIds = candidates.select(col("id_a").as("id"))
+      .unionByName(candidates.select(col("id_b").as("id")))
+      .distinct()
+    // shingle arrays: new batch computes its own; stored participants are
+    // RE-READ from the index (semi-joined down before anything widens)
+    val newSh = docs.select(col("id"), gf.shingle_hashes(col("text"), plan.shingleN).as("sh"))
+    val storedSh = spark.read.schema(shingleSchema).parquet(s"$dir/shingles")
+    val lookup = storedSh.unionByName(newSh)
+      .join(candidateIds, Seq("id"), "left_semi")
+      // a doc may appear in both the index and the new batch (re-ingest):
+      // one row per id keeps the verify joins 1:1
+      .groupBy("id").agg(first(col("sh")).as("sh"))
+    val aSide = lookup.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val bSide = lookup.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val (a, b) =
+      if (broadcastVerify) (broadcast(aSide), broadcast(bSide)) else (aSide, bSide)
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard", gf.jaccard_sorted(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Idempotent once-per-(sf, split) build (the IvfIndex.ensure pattern). */
+  def ensure(spark: SparkSession, sf: Double, tag: String, docs: => DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 0): String = {
+    val dir = s"target/synth/sf$sf/minhash_idx_$tag"
+    val marker = new Path(dir, "_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def done = fs.exists(marker)
+    if (!done) synchronized {
+      if (!done) build(docs, idCol, textCol, dir, shingleN = shingleN)
+    }
+    dir
+  }
+
+  // ------------------------------------------------------------- plan file
+
+  private def writePlan(spark: SparkSession, path: String,
+      plan: Dedup.MinhashPlan): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"${plan.shingleN},${plan.numHashes},${plan.bands}"
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readPlan(spark: SparkSession, path: String): Dedup.MinhashPlan = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val body = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+      new String(bos.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val Array(s, n, b) = body.trim.split(",").map(_.toInt)
+    Dedup.MinhashPlan(s, n, b)
+  }
+}
