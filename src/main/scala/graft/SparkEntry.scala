@@ -451,11 +451,14 @@ object SparkEntry {
       // independent exact-Jaccard bar. Zeros are structural; n_exact_new
       // is recomputed by DuckDB.
       import s.implicits._
-      val universe = t(s, dir, "documents").where(col("doc_id") % 5 === 0)
+      // %10 universe / %40 new batch: the independent exact verifier below
+      // is quadratic-ish in hot-shingle frequency (same bound rationale as
+      // q_minhash_near_dups)
+      val universe = t(s, dir, "documents").where(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text"))
-      val newB = universe.where(col("doc_id") % 20 === 0)
-      val oldB = universe.where(col("doc_id") % 20 =!= 0)
-      val idxDir = graft.operators.MinhashIndex.ensure(s, sfOf(dir), "old5x20",
+      val newB = universe.where(col("doc_id") % 40 === 0)
+      val oldB = universe.where(col("doc_id") % 40 =!= 0)
+      val idxDir = graft.operators.MinhashIndex.ensure(s, sfOf(dir), "old10x40",
         oldB, "doc_id", "text", shingleN = 3)
       val incr = graft.operators.MinhashIndex
         .queryNew(s, idxDir, newB, "doc_id", "text", tau = 0.5)
@@ -464,11 +467,11 @@ object SparkEntry {
       val full = graft.operators.Dedup.minhashLshPairs(universe, "doc_id", "text",
           shingleN = plan.shingleN, numHashes = plan.numHashes, bands = plan.bands,
           tau = 0.5)
-        .where(col("id_a") % 20 === 0 || col("id_b") % 20 === 0)
+        .where(col("id_a") % 40 === 0 || col("id_b") % 40 === 0)
         .select(col("id_a"), col("id_b")).cache()
       val exactNew = graft.operators.Dedup
         .ngramJaccardPairs(universe, "doc_id", "text", n = 3, tau = 0.5)
-        .where(col("id_a") % 20 === 0 || col("id_b") % 20 === 0)
+        .where(col("id_a") % 40 === 0 || col("id_b") % 40 === 0)
         .select(col("id_a"), col("id_b")).cache()
       try {
         Seq((newB.count(), exactNew.count(),
@@ -946,7 +949,7 @@ object SparkEntry {
 
     "q_incremental_dedup" ->
       """WITH universe AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 3),
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 3),
         |sh AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 3) AS g
         |       FROM universe, range(1, 65536) t(i) WHERE i <= length(text) - 2),
         |counts AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
@@ -954,8 +957,8 @@ object SparkEntry {
         |      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |j AS (SELECT ia, ib, CAST(c AS DOUBLE) / CAST(ca.n + cb.n - c AS DOUBLE) jac
         |      FROM p JOIN counts ca ON ca.doc_id = ia JOIN counts cb ON cb.doc_id = ib)
-        |SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 20 = 0) AS BIGINT) AS n_new,
-        |  CAST(count(*) FILTER (jac >= 0.5 AND (ia % 20 = 0 OR ib % 20 = 0)) AS BIGINT) AS n_exact_new,
+        |SELECT CAST((SELECT count(*) FROM documents WHERE doc_id % 40 = 0) AS BIGINT) AS n_new,
+        |  CAST(count(*) FILTER (jac >= 0.5 AND (ia % 40 = 0 OR ib % 40 = 0)) AS BIGINT) AS n_exact_new,
         |  CAST(0 AS BIGINT) AS n_incr_extra,
         |  CAST(0 AS BIGINT) AS incr_vs_full_diff
         |FROM j""".stripMargin,
