@@ -409,7 +409,9 @@ object Dedup {
     * SQL oracle reproduces the ratio filter bit-for-bit.
     */
   def contaminated(docs: DataFrame, benchmark: DataFrame, idCol: String,
-      textCol: String, n: Int = 8, minOverlap: Double = 0.3): DataFrame = {
+      textCol: String, n: Int = 8, minOverlap: Double = 0.3,
+      broadcastBench: Option[Boolean] = None,
+      broadcastBenchMaxBytes: Long = 512L << 20): DataFrame = {
     def shingleExpr =
       s"explode(array_distinct(transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n)))) AS sh"
     val benchSh = benchmark.select(col(textCol).as("text"))
@@ -420,7 +422,17 @@ object Dedup {
       .where(length(col("text")) >= n)
       .selectExpr("id", shingleExpr)
     val totals = docSh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val hits = docSh.join(broadcast(benchSh), Seq("sh"), "left_semi")
+    // benchmark sets are tiny next to a training corpus, so a broadcast
+    // (map-side membership, no shuffle of the exploded corpus shingles) is
+    // the expected plan — but MEASURED, not assumed (the round-3 lesson: an
+    // operator whose default dies at some input scale is a defect). An
+    // oversized benchmark falls back to a shuffled semi-join.
+    val doBroadcast = broadcastBench.getOrElse {
+      val st = benchSh.agg(count(lit(1)), coalesce(sum(length(col("sh")).cast("long")), lit(0L))).head()
+      2L * st.getLong(1) + 48L * st.getLong(0) <= broadcastBenchMaxBytes
+    }
+    val benchSide = if (doBroadcast) broadcast(benchSh) else benchSh
+    val hits = docSh.join(benchSide, Seq("sh"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_common"))
     totals.join(hits, Seq("id"))
       .where(col("n_common").cast("double") / col("n_sh").cast("double") >= minOverlap)

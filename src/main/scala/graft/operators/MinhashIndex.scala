@@ -82,7 +82,8 @@ object MinhashIndex {
     * jaccard >= tau — exactly the full-batch pairs that involve a new doc. */
   def queryNew(spark: SparkSession, dir: String, newDocs: DataFrame,
       idCol: String, textCol: String, tau: Double = 0.7,
-      broadcastVerify: Boolean = true): DataFrame = {
+      broadcastVerify: Option[Boolean] = None,
+      broadcastVerifyMaxBytes: Long = 128L << 20): DataFrame = {
     val plan = readPlan(spark, s"$dir/plan.txt")
     val docs = newDocs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
     val newBands = docs.select(col("id"),
@@ -114,8 +115,13 @@ object MinhashIndex {
       .groupBy("id").agg(first(col("sh")).as("sh"))
     val aSide = lookup.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val bSide = lookup.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    // broadcast-vs-shuffle chosen from the MEASURED participant bytes, the
+    // same estimator and standard as Dedup.minhashLshPairs
+    val doBroadcast = broadcastVerify.getOrElse {
+      Dedup.lookupBytes(lookup, size(col("sh"))) <= broadcastVerifyMaxBytes
+    }
     val (a, b) =
-      if (broadcastVerify) (broadcast(aSide), broadcast(bSide)) else (aSide, bSide)
+      if (doBroadcast) (broadcast(aSide), broadcast(bSide)) else (aSide, bSide)
     candidates.join(a, "id_a").join(b, "id_b")
       .withColumn("jaccard", gf.jaccard_sorted(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= tau)
