@@ -41,6 +41,34 @@ class MinhashIndexSpec extends AnyFunSuite {
     assert(incr.forall { case (a, b) => a > 40 || b > 40 })
   }
 
+  test("re-ingested id resolves to the NEW batch's text, deterministically") {
+    val old = corpus(1L to 20L)
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx3").toString
+    MinhashIndex.build(old, "doc_id", "text", dir)
+    // id 5 reappears with text cloned from old doc 1: if verification used
+    // the stored (unique) text for 5, the (1,5) pair would fail the exact
+    // bar; the new row must win
+    val reingest = corpus(Seq(5L)).withColumn("text",
+      lit("the quick brown fox jumps over the lazy dog and keeps running onward"))
+    val got = pairSet(MinhashIndex.queryNew(spark, dir, reingest, "doc_id", "text", tau = 0.9))
+    assert(got.contains((1L, 5L)), got.toString)
+    val again = pairSet(MinhashIndex.queryNew(spark, dir, reingest, "doc_id", "text", tau = 0.9))
+    assert(got == again)
+  }
+
+  test("maxBandSize caps degenerate stored buckets in the incremental path") {
+    // 30 identical stored docs = every band a degenerate 30-doc bucket; a
+    // new clone of them would otherwise emit 30 cross pairs
+    val boiler = (1L to 30L).map(i => (i, "exact same boilerplate text in every document here"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx4").toString
+    MinhashIndex.build(boiler, "doc_id", "text", dir)
+    val fresh = Seq((99L, "exact same boilerplate text in every document here")).toDF("doc_id", "text")
+    assert(MinhashIndex.queryNew(spark, dir, fresh, "doc_id", "text", tau = 0.9).count() == 30)
+    assert(MinhashIndex.queryNew(spark, dir, fresh, "doc_id", "text", tau = 0.9,
+      maxBandSize = 10).count() == 0)
+  }
+
   test("append grows the index: a later batch dedups against both earlier ones") {
     val old = corpus(1L to 40L)
     val second = corpus(41L to 60L)
