@@ -186,6 +186,36 @@ object MinhashIndex {
     dir
   }
 
+  /**
+   * CONTINUOUS dedup: a streaming source of documents is deduped
+   * micro-batch by micro-batch against the index at rest, each batch's
+   * near-dup pairs appended to `pairsOut`, and the batch itself appended
+   * to the index so later batches dedup against it — streaming ingestion
+   * with the same O(|batch| + candidates) shape as [[queryNew]].
+   *
+   * Failure semantics: foreachBatch may replay a batch after a crash.
+   * Replayed appends are safe (duplicates collapse in the candidate
+   * distinct / per-id aggregate — see [[append]]); replayed PAIR writes can
+   * duplicate pair rows in `pairsOut`, so downstream consumers of the pair
+   * log should read it with `.distinct()` (or consume the consolidated
+   * groups, which are insensitive to duplicate edges). Exactly-once pair
+   * output would need an idempotent sink keyed by batchId — out of scope
+   * for the sandbox, noted for production.
+   */
+  def streamDedup(spark: SparkSession, dir: String, stream: DataFrame,
+      idCol: String, textCol: String, pairsOut: String, tau: Double = 0.7,
+      maxBandSize: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          queryNew(spark, dir, batch, idCol, textCol, tau, maxBandSize)
+            .write.mode("append").parquet(pairsOut)
+          append(spark, dir, batch, idCol, textCol)
+        }
+      }
+      .start()
+
   // ------------------------------------------------------------- plan file
 
   private def writePlan(spark: SparkSession, path: String,

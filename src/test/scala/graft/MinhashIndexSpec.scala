@@ -69,6 +69,41 @@ class MinhashIndexSpec extends AnyFunSuite {
       maxBandSize = 10).count() == 0)
   }
 
+  test("streamDedup: micro-batches dedup against the index AND each other; pair log == batch-equivalent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val old = corpus(1L to 40L)
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_s").toString
+    val pairsOut = java.nio.file.Files.createTempDirectory("mh_pairs").toString + "/log"
+    MinhashIndex.build(old, "doc_id", "text", dir)
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = MinhashIndex.streamDedup(spark, dir, stream, "doc_id", "text", pairsOut, tau = 0.5)
+    try {
+      // batch 1: clone of old doc 1; batch 2: clone of batch 1's clone
+      input.addData((41L, corpus(Seq(41L)).collect()(0).getString(1)))
+      q.processAllAvailable()
+      input.addData((51L, corpus(Seq(51L)).collect()(0).getString(1)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val logged = spark.read.parquet(pairsOut).select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 41 paired against the prebuilt index's clones (1, 11, 21, 31); 51
+    // paired against those AND the already-ingested 41 — the cross-batch
+    // edge proves the index grew between micro-batches
+    assert(logged.contains((1L, 41L)) && logged.contains((41L, 51L)), logged.toString)
+    // the streamed pair log equals the full-batch operator restricted to
+    // pairs involving a streamed doc
+    val plan = MinhashIndex.readPlan(spark, s"$dir/plan.txt")
+    val full = pairSet(Dedup.minhashLshPairs(
+        old.unionByName(corpus(Seq(41L, 51L))), "doc_id", "text",
+        shingleN = plan.shingleN, numHashes = plan.numHashes, bands = plan.bands, tau = 0.5)
+      .where(col("id_a") > 40 || col("id_b") > 40))
+    assert(logged == full, s"logged-only=${logged -- full} full-only=${full -- logged}")
+  }
+
   test("append grows the index: a later batch dedups against both earlier ones") {
     val old = corpus(1L to 40L)
     val second = corpus(41L to 60L)
