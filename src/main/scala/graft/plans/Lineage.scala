@@ -107,10 +107,18 @@ object Lineage {
 
     // read back with the transform's schema: partition-dir type inference
     // would coerce zero-padded region strings to ints
-    val counts = spark.read.schema(out.schema).parquet(dataPath(outPath, stage))
+    val written = spark.read.schema(out.schema).parquet(dataPath(outPath, stage))
       .where(col("region").isin(todo.toSeq: _*))
       .groupBy("region").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // EVERY todo region gets a commit record, including ones whose transform
+    // legitimately produced zero rows (a filter stage can empty a region) —
+    // otherwise the groupBy yields no row for them, no record is written,
+    // and resume reprocesses them on every run forever.
+    // wallMs is the BATCH wall clock stamped on each region of the batch
+    // (regions are processed in one job for parallelism; a per-region wall
+    // would require per-region jobs) — consumers must not sum it.
+    val counts = todo.map(r => r -> written.getOrElse(r, 0L)).toMap
     record(spark, outPath, stage, counts, System.currentTimeMillis() - t0)
     todo
   }

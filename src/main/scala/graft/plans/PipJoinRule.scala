@@ -38,7 +38,10 @@ object PipJoinRule extends Rule[LogicalPlan] {
     case j @ Join(left, right, Inner, Some(pip: PointInPolygon), hint)
         if pip.references.nonEmpty && comesFrom(pip.first, left) &&
           comesFrom(pip.second, right) && comesFrom(pip.third, right) =>
-      rewrite(j, right, left, pip, hint) // polys on the left: swap roles
+      // polys on the left: swap roles — INCLUDING the side hints, or a
+      // broadcast hint meant for the small polygon relation would attach to
+      // the points side of the rewritten join (broadcasting the big side)
+      rewrite(j, right, left, pip, JoinHint(hint.rightHint, hint.leftHint))
   }
 
   private def comesFrom(e: Expression, side: LogicalPlan): Boolean =

@@ -185,6 +185,11 @@ object Ddl {
         createTable(table, SchemaRegistry.schemaOf(table), d, opts,
           Some(SchemaRegistry.primaryKey(table)))
     }
+    val unknown = tables.filterNot(SchemaRegistry.knownTables.map(_._1).toSet)
+    require(unknown.isEmpty,
+      // a typo'd -t table must fail loudly, not silently drop from the dump
+      // (the reference would crash on the missing XSD at discovery time)
+      s"unknown table(s): ${unknown.mkString(", ")}")
     val ordered = SchemaRegistry.knownTables.map(_._1).filter(tables.contains)
     val outP = new Path(outPath)
     val fs = outP.getFileSystem(conf)

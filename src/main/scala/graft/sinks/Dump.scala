@@ -84,7 +84,10 @@ object Dump {
       "/*!40014 SET FOREIGN_KEY_CHECKS=IF(@OLD_FOREIGN_KEY_CHECKS IS NULL, 1, @OLD_FOREIGN_KEY_CHECKS) */;\n" +
       "/*!40101 SET CHARACTER_SET_CLIENT=@OLD_CHARACTER_SET_CLIENT */;\n")
 
-  val mysql: Dialect = mysqlWith(sys.env.getOrElse("RA_SQL_ENCODING", "utf8mb4"))
+  /** Resolves RA_SQL_ENCODING at CALL time — a `val` would freeze the
+    * env as of class-load, and both DumpJob.Config.fromEnv and the parity
+    * spec had grown special cases to work around exactly that. */
+  def mysql: Dialect = mysqlWith(sys.env.getOrElse("RA_SQL_ENCODING", "utf8mb4"))
 
   val psql: Dialect = Dialect("psql", "sql",
     quotes = "'", quotesSystem = "\"",
@@ -105,7 +108,7 @@ object Dump {
     escape = Map('\\' -> "\\\\", '\r' -> "\\r", '\n' -> "\\n", '\t' -> "\\t"),
     batched = false)
 
-  val dialects: Map[String, Dialect] =
+  def dialects: Map[String, Dialect] =
     Map("mysql" -> mysql, "psql" -> psql, "csv" -> csv, "tsv" -> tsv)
 
   /** Typed value -> the string the reference would have seen as an XML

@@ -301,8 +301,14 @@ object DumpJob {
     val conf = spark.sparkContext.hadoopConfiguration
     // staging must be a SIBLING of outPath, not nested under it: in Direct
     // mode outPath is the output FILE, and writing sections under it first
-    // would turn it into a directory the final assembly can't overwrite
-    val staging = Option(stagingDir).getOrElse(s"$outPath.__sections")
+    // would turn it into a directory the final assembly can't overwrite.
+    // A caller-supplied stagingDir gets a GENERATED subdirectory: the
+    // cleanup below deletes `staging` recursively, and wiping a shared
+    // scratch dir the caller owns (with whatever else lives in it) is not
+    // this writer's call to make.
+    val staging = Option(stagingDir)
+      .map(d => s"$d/__sections_${java.util.UUID.randomUUID().toString.take(8)}")
+      .getOrElse(s"$outPath.__sections")
     val byTable = tableDfs.toMap
     val ext = cfg.dialect.extension
     val regions = cfg.regions.sorted
@@ -391,17 +397,20 @@ object DumpJob {
           emit(out, "\n" + cfg.dialect.footer)
         }
     }
-    // run the assemblies (pool sized for IO concurrency, not CPU count)
+    // run the assemblies (pool sized for IO concurrency, not CPU count);
+    // staging is cleaned in a finally — a failed assembly must not leave
+    // section files for a 100 TB dump stranded on the store
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(8, assemblies.size)))
     try {
-      val futures = assemblies.map(a => pool.submit(new Runnable { def run(): Unit = a() }))
-      futures.foreach(_.get())
-    } finally pool.shutdown()
-
-    // clean staging
-    val sfs = new Path(staging).getFileSystem(conf)
-    sfs.delete(new Path(staging), true)
+      try {
+        val futures = assemblies.map(a => pool.submit(new Runnable { def run(): Unit = a() }))
+        futures.foreach(_.get())
+      } finally pool.shutdown()
+    } finally {
+      val sfs = new Path(staging).getFileSystem(conf)
+      sfs.delete(new Path(staging), true)
+    }
     import scala.jdk.CollectionConverters._
     files.asScala.toSeq.sorted
   }

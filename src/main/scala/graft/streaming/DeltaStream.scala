@@ -26,10 +26,15 @@ object DeltaStream {
 
   case class RegionState(region: String, n_changes: Long, max_change_id: Long)
 
+  /** The one delta schema, shared by the streaming read and the parity
+    * harness's batch reads — two inline copies once desynchronized silently. */
+  private val deltaDdl =
+    "change_id LONG, region STRING, doc_id STRING, addr_text STRING, ts TIMESTAMP"
+
   /** File-source ingest of delta drops (parquet files appended to a dir). */
   def readDeltaDrops(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema("change_id LONG, region STRING, doc_id STRING, addr_text STRING, ts TIMESTAMP")
+      .schema(deltaDdl)
       .option("maxFilesPerTrigger", 4)
       .parquet(dir)
 
@@ -82,9 +87,6 @@ object DeltaStream {
       .format("parquet")
       .option("path", outPath)
 
-  private val deltaDdl =
-    "change_id LONG, region STRING, doc_id STRING, addr_text STRING, ts TIMESTAMP"
-
   /**
    * Streaming-vs-batch parity harness (the reference's re-dump semantics:
    * every delivery recomputes the store from scratch, CHANGE_HISTORY
@@ -115,30 +117,40 @@ object DeltaStream {
     }
 
     val root = java.nio.file.Files.createTempDirectory("stream_parity")
-    val watch = root.resolve("watch"); java.nio.file.Files.createDirectories(watch)
-    for ((d, idx) <- withDups.zipWithIndex) {
-      val tmp = root.resolve(s"tmp$idx").toString
-      d.toDF().coalesce(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath, watch.resolve(s"drop$idx.parquet"))
-    }
-
-    val outPath = root.resolve("store").toString
-    val q = writeToStore(
-      dedupedChanges(readDeltaDrops(spark, watch.toString)),
-      outPath, root.resolve("ckpt").toString).start()
-    try q.processAllAvailable() finally q.stop()
-
-    // explicit schema on BOTH reads: partition-dir inference would corrupt
-    // the zero-padded region key ("01" -> 1)
-    val stream = spark.read.schema(deltaDdl).parquet(outPath)
-      .select("change_id", "region", "doc_id", "addr_text", "ts").cache()
-    val batch = spark.read.schema(deltaDdl).parquet(watch.toString)
-      .dropDuplicates("change_id")
-      .select("change_id", "region", "doc_id", "addr_text", "ts").cache()
     try {
-      val diff = stream.exceptAll(batch).count() + batch.exceptAll(stream).count()
-      (stream.count(), batch.count(), diff)
-    } finally { stream.unpersist(); batch.unpersist() }
+      val watch = root.resolve("watch"); java.nio.file.Files.createDirectories(watch)
+      for ((d, idx) <- withDups.zipWithIndex) {
+        val tmp = root.resolve(s"tmp$idx").toString
+        d.toDF().coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, watch.resolve(s"drop$idx.parquet"))
+      }
+
+      val outPath = root.resolve("store").toString
+      val q = writeToStore(
+        dedupedChanges(readDeltaDrops(spark, watch.toString)),
+        outPath, root.resolve("ckpt").toString).start()
+      try q.processAllAvailable() finally q.stop()
+
+      // explicit schema on BOTH reads: partition-dir inference would corrupt
+      // the zero-padded region key ("01" -> 1)
+      val stream = spark.read.schema(deltaDdl).parquet(outPath)
+        .select("change_id", "region", "doc_id", "addr_text", "ts").cache()
+      val batch = spark.read.schema(deltaDdl).parquet(watch.toString)
+        .dropDuplicates("change_id")
+        .select("change_id", "region", "doc_id", "addr_text", "ts").cache()
+      try {
+        val diff = stream.exceptAll(batch).count() + batch.exceptAll(stream).count()
+        (stream.count(), batch.count(), diff)
+      } finally { stream.unpersist(); batch.unpersist() }
+    } finally {
+      // drops + store + checkpoint are throwaway fixtures — repeated runs
+      // would otherwise accumulate unbounded temp usage on the host
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(root.toFile)
+    }
   }
 }

@@ -54,6 +54,23 @@ class LineageSpec extends AnyFunSuite {
       s"listener counted $written written rows; manifest says $secondRunRows")
   }
 
+  test("a region whose transform yields ZERO rows still commits (no eternal reprocess)") {
+    import spark.implicits._
+    val docs = Seq(("A1", "01", 1L), ("A2", "01", 2L), ("B1", "02", 9L))
+      .toDF("doc_id", "region", "v")
+    val out = java.nio.file.Files.createTempDirectory("lineage_zero").toString
+    // the filter stage empties region 02 entirely
+    def stage(df: org.apache.spark.sql.DataFrame) = df.where(col("v") < 5)
+    val first = Lineage.runResumable(spark, docs, out, "filter")(stage)
+    assert(first == Set("01", "02"))
+    // 02 must carry a commit record with 0 rows, so resume is a NO-OP —
+    // the pre-fix behavior reprocessed it on every run forever
+    assert(Lineage.runResumable(spark, docs, out, "filter")(stage).isEmpty)
+    val manifest = Lineage.progress(spark, out)
+      .collect().map(r => r.getAs[String]("region") -> r.getAs[Long]("rows")).toMap
+    assert(manifest == Map("01" -> 2L, "02" -> 0L))
+  }
+
   test("torn write healed: crash between data write and commit record cannot duplicate rows") {
     val p = DocStore.ensure(spark, 0.0005)
     val docs = DocStore.readDf(spark, p)
