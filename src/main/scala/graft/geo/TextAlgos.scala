@@ -125,6 +125,11 @@ object TextAlgos {
   /** LSH band keys from a MinHash signature: signature split into bands,
     * each band hashed to a bucket key (band index folded in). */
   def lshBands(sig: Array[Long], bands: Int): Array[Long] = {
+    // a non-divisible split would silently drop trailing hashes (weakened
+    // bands), and bands > |sig| would give rows = 0 — every doc gets the
+    // SAME constant band keys, i.e. a full-corpus cross join
+    require(bands >= 1 && sig.length >= bands && sig.length % bands == 0,
+      s"numHashes ${sig.length} must be a positive multiple of bands $bands")
     val rows = sig.length / bands
     Array.tabulate(bands) { b =>
       var h = 0xcbf29ce484222325L ^ b.toLong

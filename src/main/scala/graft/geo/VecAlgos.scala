@@ -72,7 +72,9 @@ object VecAlgos {
   /** Split a signature into `bands` contiguous bit-bands (band values). */
   def sigBands(sig: Long, bits: Int, bands: Int): Array[Long] = {
     val width = bits / bands
-    val mask = (1L << width) - 1
+    // JVM shifts are mod-64: (1L << 64) - 1 wraps to 0 and every signature
+    // would collapse into band value 0 (an all-pairs cross join)
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     Array.tabulate(bands)(b => ((sig >>> (b * width)) & mask) | (b.toLong << 32))
   }
 }

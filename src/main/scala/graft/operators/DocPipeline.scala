@@ -114,7 +114,11 @@ object DocPipeline {
   }
 
   /** Rebuild (doc_id, region, spans) from exploded span rows, order by offset.
-    * Inverse of explodeSpans — the span-sequence round-trip. */
+    * Inverse of explodeSpans for documents with AT LEAST ONE span — a doc
+    * whose spans array is empty produces no exploded rows (posexplode, not
+    * posexplode_outer) and therefore no group here; callers round-tripping
+    * corpora that may contain empty documents must carry them separately
+    * (the GAR generator never emits one: every document has 1-8 spans). */
   def reassemble(spans: DataFrame): DataFrame =
     spans
       .groupBy(col("doc_id"), col("region"))

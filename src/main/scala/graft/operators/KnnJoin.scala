@@ -62,7 +62,9 @@ object KnnJoin {
 
   def knnJoin(queries: DataFrame, targets: DataFrame, k: Int, res: Int = -1,
       ringSteps: Seq[Int] = Seq(1, 4), broadcastTargets: Boolean = false): DataFrame = {
-    val resolvedRes = if (res > 0) res else autoRes(targets)
+    // res >= 0: resolution 0 (one global cell axis) is legal — only the
+    // negative sentinel requests auto-resolution
+    val resolvedRes = if (res >= 0) res else autoRes(targets)
     knnJoinAtRes(queries, targets, k, resolvedRes, ringSteps, broadcastTargets)
   }
 
@@ -106,7 +108,9 @@ object KnnJoin {
       val stageRes = res - c
       val kEff = math.max(1, math.ceil(ringK.toDouble / (1 << c)).toInt)
       val safe2 = {
-        val s = kEff * SpatialJoin.minCellDimDeg(stageRes)
+        // the ONE certificate-radius definition (identical formula; a
+        // hand-rolled copy here could silently drift from the guarantee)
+        val s = GridCell.safeRadiusDeg(stageRes, kEff)
         s * s
       }
       val tStage =

@@ -37,11 +37,22 @@ object Multimodal {
   case class Decoded(kind: String, width: Int, height: Int, frames: Int, bodyLen: Int)
 
   /** ??? in production for audio/video — a real codec goes here. The stub
-    * reads the deterministic fake header. */
+    * reads the deterministic fake header. Payloads shorter than the header
+    * are reported as corrupt rows, not a partition-killing
+    * BufferUnderflowException. */
   def decodeStub(payload: Array[Byte]): Decoded = {
+    if (payload.length < 13) return Decoded("corrupt", 0, 0, 0, payload.length)
     val buf = java.nio.ByteBuffer.wrap(payload)
     val kind = buf.get() match { case 1 => "image"; case 2 => "audio"; case 3 => "video"; case _ => "unknown" }
     Decoded(kind, buf.getInt, buf.getInt, buf.getInt, payload.length - 13)
+  }
+
+  private def looksLikeImage(payload: Array[Byte]): Boolean = {
+    val isPng = payload.length > 8 &&
+      (payload(0) & 0xFF) == 0x89 && payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
+    val isJpeg = payload.length > 3 &&
+      (payload(0) & 0xFF) == 0xFF && (payload(1) & 0xFF) == 0xD8 && (payload(2) & 0xFF) == 0xFF
+    isPng || isJpeg
   }
 
   /** REAL image decode (PNG/JPEG) via the JDK's javax.imageio: magic-sniff,
@@ -49,11 +60,7 @@ object Multimodal {
     * never decompressed (a metadata pass over 100 TB of images must not
     * decode pixels). None = not an image payload (fall through to the stub). */
   def decodeImage(payload: Array[Byte]): Option[Decoded] = {
-    val isPng = payload.length > 8 &&
-      (payload(0) & 0xFF) == 0x89 && payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G'
-    val isJpeg = payload.length > 3 &&
-      (payload(0) & 0xFF) == 0xFF && (payload(1) & 0xFF) == 0xD8 && (payload(2) & 0xFF) == 0xFF
-    if (!isPng && !isJpeg) None
+    if (!looksLikeImage(payload)) None
     else {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -62,18 +69,28 @@ object Multimodal {
         if (!readers.hasNext) None
         else {
           val r = readers.next()
+          // a corrupt header must yield None (-> image_undecodable row),
+          // not kill the partition
           try {
             r.setInput(iis)
             Some(Decoded("image", r.getWidth(0), r.getHeight(0), 1, payload.length))
-          } finally r.dispose()
+          } catch { case _: Exception => None }
+          finally r.dispose()
         }
       } finally iis.close()
     }
   }
 
-  /** Codec seam: real image decode first, deterministic stub otherwise. */
+  /** Codec seam: real image decode first, deterministic stub otherwise.
+    * A payload carrying image magic that ImageIO cannot read (no reader on
+    * this JVM, or a corrupt header) is reported as `image_undecodable` —
+    * letting it fall to the stub would mis-parse PNG magic bytes as
+    * width/height and emit silent garbage metadata. */
   def decodePayload(payload: Array[Byte]): Decoded =
-    decodeImage(payload).getOrElse(decodeStub(payload))
+    decodeImage(payload).getOrElse {
+      if (looksLikeImage(payload)) Decoded("image_undecodable", 0, 0, 0, payload.length)
+      else decodeStub(payload)
+    }
 
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", StringType, nullable = false),

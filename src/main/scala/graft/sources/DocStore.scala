@@ -33,8 +33,12 @@ object DocStore {
     val p = path(sf)
     val conf = spark.sparkContext.hadoopConfiguration
     def done = {
-      val marker = new Path(p, "_SUCCESS")
-      marker.getFileSystem(conf).exists(marker)
+      // BOTH the parquet job's _SUCCESS and the manifest must exist: the
+      // manifest is written after the job commits, so a crash between the
+      // two would otherwise leave a store ensure() considers complete but
+      // readManifest cannot serve (stale forever)
+      val fs = new Path(p).getFileSystem(conf)
+      fs.exists(new Path(p, "_SUCCESS")) && fs.exists(new Path(p, "_manifest.json"))
     }
     if (!done) synchronized {
       if (!done) {

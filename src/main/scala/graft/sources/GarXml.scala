@@ -177,7 +177,10 @@ object GarXml {
           else if (b == ' ' || b == '\t' || b == '\n' || b == '\r') b = readByte()
           else {
             val name = new java.lang.StringBuilder
-            while (b >= 0 && b != '=' && b != ' ' && b != '>' && b != '/') {
+            // ANY XML whitespace terminates the name — a tab/newline before
+            // '=' (legal XML) must not be swallowed into the attribute name
+            while (b >= 0 && b != '=' && b != ' ' && b != '\t' && b != '\n' &&
+                b != '\r' && b != '>' && b != '/') {
               name.append(b.toChar); b = readByte()
             }
             while (b == ' ' || b == '\t' || b == '\n' || b == '\r') b = readByte()
@@ -211,7 +214,11 @@ object GarXml {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\t' || c == '\n' || c == '\r') { sb.append(' '); i += 1 }
+      // XML line-end normalization happens BEFORE attribute-value
+      // normalization: a literal CRLF is one line end -> ONE space (the
+      // StAX oracle path does the same; two spaces would diverge)
+      if (c == '\r' && i + 1 < s.length && s.charAt(i + 1) == '\n') { sb.append(' '); i += 2 }
+      else if (c == '\t' || c == '\n' || c == '\r') { sb.append(' '); i += 1 }
       else if (c == '&') {
         val semi = s.indexOf(';', i + 1)
         if (semi < 0) { sb.append(c); i += 1 }
@@ -282,7 +289,9 @@ object GarXml {
     val entity = SchemaRegistry.entityOf(table)
     val xsdPath = discoverFile(schemaDir, entity, "xsd", conf)
     val in = fs(xsdPath, conf).open(new Path(xsdPath))
-    try XsdSchema.parse(in) finally { /* parse closes */ }
+    // parse closes the stream on success; a PARSE FAILURE must not leak it
+    try XsdSchema.parse(in)
+    catch { case e: Throwable => try in.close() catch { case _: Throwable => }; throw e }
   }
 
   /**

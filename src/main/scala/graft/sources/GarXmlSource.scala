@@ -37,20 +37,27 @@ class GarXmlSource extends TableProvider with org.apache.spark.sql.sources.DataS
 
   override def shortName(): String = "gar-xml"
 
+  // one XSD discovery + parse per (schemaDir, table) per provider instance:
+  // Spark calls inferSchema and getTable on the same read, which would
+  // otherwise glob + open + parse the XSD twice (doubled remote-FS latency)
+  private val defnCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), XsdSchema.Definition]()
+
   private def defnOf(options: CaseInsensitiveStringMap): (XsdSchema.Definition, String) = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("gar-xml: .load(sourceDir) is required"))
     val table = Option(options.get("table")).getOrElse(
       throw new IllegalArgumentException("gar-xml: option 'table' is required"))
     val schemaDir = Option(options.get("schemaDir")).getOrElse(path)
-    val defn =
-      try GarXml.definitionOf(schemaDir, table)
+    val defn = defnCache.computeIfAbsent((schemaDir, table), { key =>
+      try GarXml.definitionOf(key._1, key._2)
       catch { case _: java.io.FileNotFoundException =>
         XsdSchema.Definition(
           XsdSchema.collectionTagOf(SchemaRegistry.entityOf(table)),
           XsdSchema.entityTagOf(SchemaRegistry.entityOf(table)),
           SchemaRegistry.schemaOf(table).fields.toSeq, "")
       }
+    })
     (defn, table)
   }
 
