@@ -178,6 +178,15 @@ object G {
     val scores = new Array[Double](k)
     var i = 0
     while (i < k) { scores(i) = VecAlgos.cosine(vec, centroids(i)); i += 1 }
+    if (nProbe <= 1) {
+      // the corpus-wide assignment path (cid per row, every Lloyd iteration)
+      // needs only an argmax — the generic sort below boxes k Integers and
+      // k Tuple2s PER ROW, textbook hot-path GC pressure
+      var best = 0
+      i = 1
+      while (i < k) { if (scores(i) > scores(best)) best = i; i += 1 }
+      return new GenericArrayData(Array(best))
+    }
     val order = Array.tabulate(k)(identity).sortBy(j => (-scores(j), j))
     new GenericArrayData(order.take(math.min(nProbe, k)))
   }

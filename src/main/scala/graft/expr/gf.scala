@@ -138,6 +138,12 @@ object gf {
     def cl(e: Expression) = Cast(e, LongType)
     def ci(e: Expression) = Cast(e, IntegerType)
     def cs(e: Expression) = Cast(e, StringType)
+    // identity-skipping cast for ARRAY arguments: a nullability-widening
+    // Cast on array<...> deep-copies the array PER ROW (the measured
+    // round-1/round-3 hot-path killers the Column API avoids); SQL callers
+    // whose argument type already matches must not pay it
+    def ca(e: Expression, t: org.apache.spark.sql.types.DataType): Expression =
+      if (e.resolved && e.dataType == t) e else Cast(e, t)
     def r(name: String)(b: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, b, "built-in")
     r("grid_cell") { e => GridCellEncode(cd(e(0)), cd(e(1)), ci(e(2))) }
@@ -146,8 +152,8 @@ object gf {
     r("s2_cell") { e => S2CellEncode(cd(e(0)), cd(e(1)), ci(e(2))) }
     r("cell_x") { e => CellX(cl(e(0))) }
     r("cell_y") { e => CellY(cl(e(0))) }
-    r("st_contains") { e => PointInPolygon(Cast(e(0), RingsT), cd(e(1)), cd(e(2))) }
-    r("cell_cover") { e => PolygonCellCover(Cast(e(0), RingsT), ci(e(1))) }
+    r("st_contains") { e => PointInPolygon(ca(e(0), RingsT), cd(e(1)), cd(e(2))) }
+    r("cell_cover") { e => PolygonCellCover(ca(e(0), RingsT), ci(e(1))) }
     r("tile_id") { e => TileAssign(cd(e(0)), cd(e(1)), ci(e(2))) }
     r("tile_key") { e => TileKey(cl(e(0))) }
     r("tile_parse") { e => TileParse(cs(e(0))) }
@@ -174,6 +180,6 @@ object gf {
     r("sig_bands") { e => SigBands(cl(e(0)), ci(e(1)), ci(e(2))) }
     r("ngram_jaccard") { e => NgramJaccard(cs(e(0)), cs(e(1)), ci(e(2))) }
     r("shingle_hashes") { e => ShingleHashes(cs(e(0)), ci(e(1))) }
-    r("jaccard_sorted") { e => JaccardSorted(Cast(e(0), LongsT), Cast(e(1), LongsT)) }
+    r("jaccard_sorted") { e => JaccardSorted(ca(e(0), LongsT), ca(e(1), LongsT)) }
   }
 }

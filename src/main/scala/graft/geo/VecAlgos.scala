@@ -71,6 +71,11 @@ object VecAlgos {
 
   /** Split a signature into `bands` contiguous bit-bands (band values). */
   def sigBands(sig: Long, bits: Int, bands: Int): Array[Long] = {
+    // bits < bands would truncate width to 0 -> mask 0 -> every signature
+    // emits the SAME constant band keys = silent all-pairs cross join
+    // (the minhash sibling lshBands guards its equivalent)
+    require(bands >= 1 && bits >= bands,
+      s"bits $bits must be >= bands $bands (>= 1)")
     val width = bits / bands
     // JVM shifts are mod-64: (1L << 64) - 1 wraps to 0 and every signature
     // would collapse into band value 0 (an all-pairs cross join)

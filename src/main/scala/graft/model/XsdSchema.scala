@@ -81,6 +81,12 @@ object XsdSchema {
           case "xs:integer" | "xs:int" | "xs:long" =>
             val digits = children(r, "totalDigits").headOption
               .flatMap(attr(_, "value")).map(_.toInt).getOrElse(11)
+            // DELIBERATE reference parity, not a safe-bounds choice: the
+            // reference's own XSLTs declare totalDigits=5 -> smallint and
+            // =10 -> integer (postgres.schema.xsl:23-28), so a value like
+            // 40000 in a 5-digit field would fail ITS database load too;
+            // our read fails the same data at the same boundary instead of
+            // silently widening past the declared DDL contract
             if (digits <= 5) ShortType
             else if (digits <= 10) IntegerType
             else LongType

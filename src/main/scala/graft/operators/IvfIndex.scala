@@ -87,12 +87,8 @@ object IvfIndex {
     val cids = probed.select("cid").distinct().collect().map(_.getInt(0)).sorted
     val lists = spark.read.schema(listSchema).parquet(s"$dir/lists")
       .where(col("cid").isin(cids.map(Integer.valueOf).toSeq: _*))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("tid"))
-    probed.join(lists, "cid")
-      .withColumn("cos", gf.vec_cos_q(col("q_q"), col("q_t")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col("qid"), col("tid"), col("cos"), col("rn"))
+    // exact re-rank via the ONE shared output contract (Similarity.rerankTopK)
+    Similarity.rerankTopK(probed.join(lists, "cid"), k)
   }
 
   /** The pruned scan for plan assertions (same predicate as `query`). */

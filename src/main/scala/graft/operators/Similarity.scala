@@ -34,18 +34,27 @@ object Similarity {
     (math.min(64, perBand * bands), bands)
   }
 
+  /** THE top-k output contract, shared by every variant (brute / banded ANN
+    * / in-memory IVF / persisted IVF): exact quantised cosine over candidate
+    * (qid, q_q, tid, q_t) rows, ties broken by tid, rows ranked 1..k.
+    * One definition — four hand-maintained copies of the tie-break once
+    * risked silently diverging the variants' results. */
+  private[operators] def rerankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("tid"))
+    pairs
+      .withColumn("cos", gf.vec_cos_q(col("q_q"), col("q_t")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("tid"), col("cos"), col("rn"))
+  }
+
   /** Exact top-k by quantised cosine. queries: (qid, vec); corpus: (tid, vec). */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       broadcastCorpus: Boolean = true): DataFrame = {
     val q = queries.select(col("qid"), gf.vec_quantize(col("vec")).as("q_q"))
     val c = corpus.select(col("tid"), gf.vec_quantize(col("vec")).as("q_t"))
     val cSide = if (broadcastCorpus) broadcast(c) else c
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("tid"))
-    q.crossJoin(cSide)
-      .withColumn("cos", gf.vec_cos_q(col("q_q"), col("q_t")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col("qid"), col("tid"), col("cos"), col("rn"))
+    rerankTopK(q.crossJoin(cSide), k)
   }
 
   /** Approximate top-k: LSH band candidates, exact re-rank, top-k.
@@ -91,14 +100,7 @@ object Similarity {
       if (doBroadcast) candidates
       else candidates.repartition(
         candidates.sparkSession.sessionState.conf.numShufflePartitions, col("qid"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("tid"))
-    spread
-      .join(qSide, "qid")
-      .join(tSide, "tid")
-      .withColumn("cos", gf.vec_cos_q(col("q_q"), col("q_t")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col("qid"), col("tid"), col("cos"), col("rn"))
+    rerankTopK(spread.join(qSide, "qid").join(tSide, "tid"), k)
   }
 
   // ------------------------------------------------------------------ IVF
@@ -208,13 +210,7 @@ object Similarity {
       element_at(gf.ivf_probes(col("vec"), cents, 1), 1).as("cid"))
     val q = queries.select(col("qid"), gf.vec_quantize(col("vec")).as("q_q"),
       explode(gf.ivf_probes(col("vec"), cents, nProbe)).as("cid"))
-
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("tid"))
-    q.join(c, Seq("cid"))
-      .withColumn("cos", gf.vec_cos_q(col("q_q"), col("q_t")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col("qid"), col("tid"), col("cos"), col("rn"))
+    rerankTopK(q.join(c, Seq("cid")), k)
   }
 
   /** Recall of `got` vs exact `want` on (qid, tid) pairs. */

@@ -24,7 +24,11 @@ object DataGen {
     var cursor = 0L
     val out = Vector.newBuilder[(String, Long, Long)]
     for (r <- SynthGeo.Regions) {
-      val cnt = total * SynthGeo.weight(r) / unitTotal
+      // every region gets at least one document: integer division zeroes
+      // weight-1 regions whenever total < unitTotal (degenerate tiny sf),
+      // and a corpus silently missing 28 of 30 regions breaks any
+      // per-region expectation downstream. No-op at every real sf.
+      val cnt = math.max(1L, total * SynthGeo.weight(r) / unitTotal)
       out += ((r, cursor, cnt))
       cursor += cnt
     }

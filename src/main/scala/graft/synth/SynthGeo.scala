@@ -136,6 +136,16 @@ object SynthGeo {
       ok = Pip.containsRaw(poly, lon, lat)
       attempt += 1
     }
+    if (!ok) {
+      // all attempts landed in the hole (~1e-9 per point, so expected AT
+      // SCALE): fall back to a point certainly inside — at 0.7 of the outer
+      // star radius along theta=0. The hole is a 0.5-scale star around the
+      // same center inside a 2.0-scale outer (buildPolygon), so its boundary
+      // stays below ~0.35x the outer radius; 0.7x is outside the hole and
+      // inside the outer ring for every region shape.
+      val r0 = 0.7 * starRadiusAt(radii, 0.0)
+      lon = cx + r0; lat = cy
+    }
     // polygons crossing the antimeridian are stored continuously (lon > 180);
     // emitted points are always wrapped back into [-180, 180)
     (lat, if (lon >= 180.0) lon - 360.0 else lon)
