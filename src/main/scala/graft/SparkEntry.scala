@@ -839,10 +839,15 @@ object SparkEntry {
     "q_embedding_near_dups" ->
       """WITH base AS (SELECT vec_id, embedding FROM embeddings),
         |planted AS (
-        |  SELECT vec_id + 1000000 AS vec_id,
-        |    list_transform(embedding, (x, i) ->
-        |      CAST(CAST(x AS DOUBLE) + (((vec_id * 31 + (i - 1)) % 7) - 3) / 1024.0 AS FLOAT)) AS embedding
-        |  FROM base WHERE vec_id % 25 = 0),
+        |  -- the jitter lambda must see the BASE vec_id (the Spark side's
+        |  -- select semantics): the shift gets a DISTINCT alias in an inner
+        |  -- projection so the lambda's vec_id reference never depends on
+        |  -- DuckDB's base-column-vs-lateral-alias precedence
+        |  SELECT new_vec_id AS vec_id, embedding FROM (
+        |    SELECT vec_id + 1000000 AS new_vec_id,
+        |      list_transform(embedding, (x, i) ->
+        |        CAST(CAST(x AS DOUBLE) + (((vec_id * 31 + (i - 1)) % 7) - 3) / 1024.0 AS FLOAT)) AS embedding
+        |    FROM base WHERE vec_id % 25 = 0)),
         |allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
         |q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) qv FROM allv),
         |d AS (SELECT a.vec_id ia, b.vec_id ib,

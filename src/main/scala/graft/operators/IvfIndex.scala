@@ -58,10 +58,17 @@ object IvfIndex {
     dir
   }
 
-  /** Build the index: inverted lists partitioned by cid + centroid matrix. */
+  /** Build the index: inverted lists partitioned by cid + centroid matrix.
+    * Building OVER an existing index drops its `_BUILT` marker before
+    * touching data (a crash mid-overwrite must not leave a valid-looking
+    * marker on a half-overwritten index); ensure()/rebuild() recreate it
+    * after the write completes. */
   def build(corpus: DataFrame, dir: String, kCentroids: Int = 64,
       kmeansIters: Int = 1): Array[Array[Float]] = {
     val spark = corpus.sparkSession
+    val marker = new Path(dir, "_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) fs.delete(marker, false)
     val sampled = Similarity.sampleCentroids(corpus, kCentroids)
     require(sampled.nonEmpty, "empty corpus")
     val cents =
@@ -71,6 +78,21 @@ object IvfIndex {
         element_at(gf.ivf_probes(col("vec"), cents, 1), 1).as("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
     writeCentroids(spark, s"$dir/centroids.txt", cents)
+    cents
+  }
+
+  /** Re-cluster + rewrite an existing index IN PLACE from the current
+    * corpus — the quantizer-drift answer (a corpus that has drifted from
+    * the centroids it was clustered under concentrates into few lists; the
+    * skew soak measures that exact failure mode at 1.28x hot/balanced).
+    * Crash-safe via the marker protocol: the marker is dropped first and
+    * recreated only after the full rewrite, so a torn rebuild is healed by
+    * the next ensure() rather than served. */
+  def rebuild(spark: SparkSession, dir: String, corpus: DataFrame,
+      kCentroids: Int = 16, kmeansIters: Int = 1): Array[Array[Float]] = {
+    val cents = build(corpus, dir, kCentroids, kmeansIters)
+    val marker = new Path(dir, "_BUILT")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).create(marker, true).close()
     cents
   }
 

@@ -41,12 +41,15 @@ object Sampling {
 
   /** Deterministic train/val/test (or any) split assignment: adds a
     * `split` column from cumulative gate ranges. Fractions must sum to
-    * <= 1; any remainder falls into the LAST split (so (0.8, 0.1, 0.1)
-    * partitions exactly). */
+    * ~1.0 (within 1e-6) — the rounding remainder lands in the LAST split,
+    * so (0.8, 0.1, 0.1) partitions exactly. A looser "sum <= 1" contract
+    * once let Seq(("train", 0.5)) silently label 100% of rows train — for
+    * a function whose whole point is exact splits, an under-specified
+    * partition is a config error, not a default. */
   def assignSplit(df: DataFrame, idCol: String,
       splits: Seq[(String, Double)], salt: Long = 7L): DataFrame = {
-    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9,
-      s"split fractions must sum to <= 1: $splits")
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) <= 1e-6,
+      s"split fractions must sum to 1 (remainder rounds into the last split): $splits")
     val g = gate(col(idCol), salt)
     val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(c => (c * Mod).toLong)

@@ -83,6 +83,10 @@ object Metrics {
     val listener = new Progress(tickEveryRows, report, jobGroup = Some(group))
     val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
     val prevDesc = sc.getLocalProperty("spark.job.description")
+    // setJobGroup also writes this thread-local; leaving it behind as
+    // "false" would silently override a caller's configured
+    // interrupt-on-cancel for every later job on this thread
+    val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
     sc.addSparkListener(listener)
     sc.setJobGroup(group, "Metrics.measure", interruptOnCancel = false)
     val t0 = System.currentTimeMillis()
@@ -93,6 +97,7 @@ object Metrics {
     } finally {
       sc.setLocalProperty("spark.jobGroup.id", prevGroup)
       sc.setLocalProperty("spark.job.description", prevDesc)
+      sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
       sc.removeSparkListener(listener)
     }
   }

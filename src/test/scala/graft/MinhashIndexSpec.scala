@@ -104,6 +104,97 @@ class MinhashIndexSpec extends AnyFunSuite {
     assert(logged == full, s"logged-only=${logged -- full} full-only=${full -- logged}")
   }
 
+  test("retire: a tombstoned doc stops generating candidates; compact reclaims it and stays parity-equal") {
+    val old = corpus(1L to 40L)
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_r").toString
+    val plan = MinhashIndex.build(old, "doc_id", "text", dir)
+    val fresh = corpus(Seq(41L)) // clone of 1/11/21/31
+    val before = pairSet(MinhashIndex.queryNew(spark, dir, fresh, "doc_id", "text", tau = 0.5))
+    assert(before.contains((1L, 41L)) && before.contains((11L, 41L)))
+
+    // retire docs 1 and 11: immediately invisible to candidate generation
+    MinhashIndex.retire(spark, dir, Seq(1L, 11L).toDF("doc_id"), "doc_id")
+    val after = pairSet(MinhashIndex.queryNew(spark, dir, fresh, "doc_id", "text", tau = 0.5))
+    assert(!after.exists { case (a, b) => a == 1L || a == 11L || b == 1L || b == 11L }, after.toString)
+    assert(after.contains((21L, 41L)) && after.contains((31L, 41L)))
+
+    def bytesUnder(sub: String): Long = {
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(dir, sub)).getLength
+    }
+    val bandBytesBefore = bytesUnder("bands")
+    // compact: rewrites minus retirees, clears tombstones, recommits marker
+    MinhashIndex.compact(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "tombstones")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_BUILT")))
+    assert(bytesUnder("bands") < bandBytesBefore)
+    // compacted index == a fresh build over the surviving corpus
+    val compacted = pairSet(MinhashIndex.queryNew(spark, dir, fresh, "doc_id", "text", tau = 0.5))
+    val freshDir = java.nio.file.Files.createTempDirectory("mh_idx_rf").toString
+    MinhashIndex.build(old.where(!col("doc_id").isin(1L, 11L)), "doc_id", "text", freshDir,
+      plan.shingleN, plan.numHashes, plan.bands)
+    val rebuilt = pairSet(MinhashIndex.queryNew(spark, freshDir, fresh, "doc_id", "text", tau = 0.5))
+    assert(compacted == rebuilt && compacted == after)
+    // compact with no tombstones is a no-op
+    MinhashIndex.compact(spark, dir)
+    assert(pairSet(MinhashIndex.queryNew(spark, dir, fresh, "doc_id", "text", tau = 0.5)) == compacted)
+  }
+
+  test("streamDedup queries see retires too (queryNew path shared)") {
+    val old = corpus(1L to 20L)
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_r2").toString
+    val pairsOut = java.nio.file.Files.createTempDirectory("mh_pairs_r").toString + "/log"
+    MinhashIndex.build(old, "doc_id", "text", dir)
+    MinhashIndex.retire(spark, dir, Seq(11L).toDF("doc_id"), "doc_id")
+    MinhashIndex.processBatch(spark, dir, corpus(Seq(41L)), 0L, "doc_id", "text",
+      pairsOut, 0.5, 0)
+    val logged = pairSet(MinhashIndex.readPairs(spark, pairsOut))
+    assert(logged.contains((1L, 41L)) && !logged.exists(p => p._1 == 11L || p._2 == 11L))
+  }
+
+  test("ensure keys the cached index by the FULL plan: any knob change rebuilds") {
+    val docs = corpus(1L to 20L)
+    val d1 = MinhashIndex.ensure(spark, 0.000001, "keyspec", docs, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8)
+    val d2 = MinhashIndex.ensure(spark, 0.000001, "keyspec", docs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 8)
+    val d3 = MinhashIndex.ensure(spark, 0.000001, "keyspec", docs, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 16)
+    assert(Set(d1, d2, d3).size == 3, s"$d1 / $d2 / $d3")
+    assert(MinhashIndex.readPlan(spark, s"$d1/plan.txt") == Dedup.MinhashPlan(3, 32, 8))
+    assert(MinhashIndex.readPlan(spark, s"$d2/plan.txt") == Dedup.MinhashPlan(3, 64, 8))
+    assert(MinhashIndex.readPlan(spark, s"$d3/plan.txt") == Dedup.MinhashPlan(3, 32, 16))
+    // same knobs = cache hit (plan file mtime unchanged by a second ensure)
+    assert(MinhashIndex.ensure(spark, 0.000001, "keyspec", docs, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8) == d1)
+  }
+
+  test("replayed micro-batch leaves the pair log duplicate-free (idempotent batch sink)") {
+    val old = corpus(1L to 40L)
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_x").toString
+    val pairsOut = java.nio.file.Files.createTempDirectory("mh_pairs_x").toString + "/log"
+    MinhashIndex.build(old, "doc_id", "text", dir)
+    val batch = corpus(Seq(41L))
+    MinhashIndex.processBatch(spark, dir, batch, 7L, "doc_id", "text", pairsOut, 0.5, 0)
+    val once = MinhashIndex.readPairs(spark, pairsOut).collect().toSeq
+    // crash-replay: foreachBatch re-delivers the same (batch, batchId)
+    MinhashIndex.processBatch(spark, dir, batch, 7L, "doc_id", "text", pairsOut, 0.5, 0)
+    val twice = MinhashIndex.readPairs(spark, pairsOut).collect().toSeq
+    assert(twice.size == once.size && once.nonEmpty,
+      s"replay duplicated pair rows: ${once.size} -> ${twice.size}")
+    // the replayed append is absorbed too: a later batch still sees ONE
+    // copy of 41's pairs
+    MinhashIndex.processBatch(spark, dir, corpus(Seq(51L)), 8L, "doc_id", "text",
+      pairsOut, 0.5, 0)
+    val logged = MinhashIndex.readPairs(spark, pairsOut)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(logged.size == logged.distinct.size, "duplicate pairs after replayed append")
+    assert(logged.contains((41L, 51L)))
+  }
+
   test("append grows the index: a later batch dedups against both earlier ones") {
     val old = corpus(1L to 40L)
     val second = corpus(41L to 60L)

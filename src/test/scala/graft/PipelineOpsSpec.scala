@@ -151,6 +151,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(onlyProbed.subsetOf(Set(0, 1)))
   }
 
+  test("IvfIndex.rebuild re-clusters a drifted corpus in place, parity-equal to a fresh build") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpusA = emb.where($"vec_id" % 2 === 0).select($"vec_id".as("tid"), $"embedding".as("vec"))
+    // the drifted corpus: disjoint ids, vectors negated — the quantizer built
+    // on corpusA concentrates them into few lists (the skew failure mode)
+    val corpusB = emb.where($"vec_id" % 2 === 1).select($"vec_id".as("tid"),
+      transform($"embedding", x => -x).as("vec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rb").toString
+    val centsA = IvfIndex.build(corpusA, dir, kCentroids = 8, kmeansIters = 1)
+    new org.apache.hadoop.fs.Path(dir, "_BUILT").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+      .create(new org.apache.hadoop.fs.Path(dir, "_BUILT"), true).close()
+
+    val centsB = IvfIndex.rebuild(spark, dir, corpusB, kCentroids = 8, kmeansIters = 1)
+    assert(centsB.map(_.toSeq).toSeq != centsA.map(_.toSeq).toSeq, "quantizer did not move")
+    // marker recommitted; stored centroids are the new quantizer
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_BUILT")))
+    assert(IvfIndex.readCentroids(spark, s"$dir/centroids.txt").map(_.toSeq).toSeq ==
+      centsB.map(_.toSeq).toSeq)
+    // rebuilt index answers == a fresh build over the drifted corpus
+    val queries = corpusB.limit(5).select($"tid".as("qid"), $"vec")
+    val freshDir = java.nio.file.Files.createTempDirectory("ivf_rbf").toString
+    IvfIndex.build(corpusB, freshDir, kCentroids = 8, kmeansIters = 1)
+    val got = IvfIndex.query(spark, dir, queries, k = 3, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val want = IvfIndex.query(spark, freshDir, queries, k = 3, nProbe = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(got == want)
+    // old-corpus rows are gone from the lists (full rewrite, not append)
+    val ids = spark.read.parquet(s"$dir/lists").select("tid").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids.forall(_ % 2 == 1))
+  }
+
   test("lshPlan scales bits-per-band with corpus size, capped at one Long") {
     // tiny corpus: narrow bands (high recall); big corpus: full 64-bit sig
     val (b1, n1) = Similarity.lshPlan(100, bands = 4)
