@@ -157,6 +157,53 @@ object ScaleSoak {
     minhashPairs.unpersist()
     assertPlanted(stats("survivors_full") == nDocs - 599L - expectedEditPairs,
       s"survivors: got ${stats("survivors_full")}, want ${nDocs - 599 - expectedEditPairs}")
+    // deep-graph components: real dedup graphs (cliques + short chains)
+    // converge in ~2 star rounds, which never exercises the multi-round
+    // regime. Plant a LONG PATH (diameter nDocs/2) and a 10-node-clique
+    // CHAIN — the worst case for min-label propagation — and assert the
+    // O(log^2 n) convergence the Kiveris algorithm promises, plus
+    // constant-depth lineage at the fixed point (each round is
+    // checkpointed; without that the plan would be ~rounds deep and the
+    // driver would stack-overflow long before 100 TB).
+    timed("components_deep_graph") {
+      val p = nDocs / 2 // path nodes; ids 0..p-1
+      val path = spark.range(0, p - 1, 1, 64)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      // chain of p/100 10-cliques bridged end to start, ids offset past the path
+      val base = nDocs * 10
+      val cliqueEdges = spark.range(0, p / 100, 1, 64).select(explode(expr(
+          // 45 in-clique pairs + 1 bridge to the next clique's first node
+          """transform(
+            |  flatten(transform(sequence(0, 8), a ->
+            |    transform(sequence(a + 1, 9), b -> struct(a AS a, b AS b)))),
+            |  s -> struct(id * 10 + s.a AS a, id * 10 + s.b AS b))""".stripMargin))
+          .as("e"), col("id"))
+        .select((col("e.a") + base).as("id_a"), (col("e.b") + base).as("id_b"))
+        .unionByName(spark.range(0, p / 100 - 1, 1, 64)
+          .select((col("id") * 10 + 9 + base).as("id_a"),
+            ((col("id") + 1) * 10 + base).as("id_b")))
+      val (comp, rounds) = graft.operators.Dedup.componentsWithStats(
+        path.unionByName(cliqueEdges))
+      val byComp = comp.groupBy(col("component")).agg(count(lit(1)).as("n")).cache()
+      val nComponents = byComp.count()
+      val sizes = byComp.orderBy(col("n").desc).limit(2).collect().map(_.getLong(1))
+      byComp.unpersist()
+      System.err.println(s"SOAK components_deep_graph rounds=$rounds comps=$nComponents sizes=${sizes.toSeq}")
+      // exactly 2 components: the whole path and the whole clique chain
+      assertPlanted(nComponents == 2 && sizes.toSet == Set(p, p / 100 * 10),
+        s"deep graph: comps=$nComponents sizes=${sizes.toSeq}, want Set($p, ${p / 100 * 10})")
+      // multi-round regime reached, and convergence ~ O(log^2 n): for
+      // n = 50k the observed star-contraction takes ~6-15 rounds; 30 is a
+      // generous ceiling far below a linear O(diameter) propagation
+      assertPlanted(rounds > 2, s"deep-graph rounds $rounds did not reach the multi-round regime")
+      require(rounds <= 30, s"deep-graph rounds $rounds above the O(log^2 n) ceiling")
+      // constant lineage depth at the fixed point: the checkpointed
+      // assignment must be a leaf-like scan, not a rounds-deep join tree
+      val planSize = comp.queryExecution.optimizedPlan.collect { case n => n }.size
+      require(planSize <= 5, s"assignment lineage not constant-depth: $planSize plan nodes")
+      comp.unpersist()
+      nComponents
+    }
     // benchmark decontamination at corpus scale: every 500th doc is the
     // benchmark. Shingle width matters on this tiny-vocab corpus: 8-grams
     // span ~1.6 words and the 200-doc benchmark covers nearly every common

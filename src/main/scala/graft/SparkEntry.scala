@@ -40,6 +40,33 @@ object SparkEntry {
   def sfOf(dir: String): Double =
     "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
 
+  /** Pre-build every per-sf persisted store/index the queries touch
+    * (DocStore, the IVF index, the minhash index — same parameters as the
+    * queries, so their `ensure` calls cache-hit), returning build seconds
+    * per store. Bench runs this BEFORE its timed loop so the artifact
+    * measures queries, not first-run cache population (round-4 bench
+    * carried a ~6 s index build inside q_incremental_dedup's timing). */
+  def prebuild(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    def timed(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val sf = sfOf(dir)
+    Seq(
+      "doc_store" -> timed(DocStore.ensure(s, sf)),
+      "ivf_index" -> timed {
+        val corpus = t(s, dir, "embeddings")
+          .select(col("vec_id").as("tid"), col("embedding").as("vec"))
+        graft.operators.IvfIndex.ensure(s, sf, corpus, kCentroids = 16, kmeansIters = 1)
+      },
+      "minhash_index" -> timed {
+        val oldB = t(s, dir, "documents")
+          .where(col("doc_id") % 10 === 0 && col("doc_id") % 40 =!= 0)
+          .select(col("doc_id"), col("text"))
+        graft.operators.MinhashIndex.ensure(s, sf, "old10x40", oldB,
+          "doc_id", "text", shingleN = 3)
+      })
+  }
+
   /** Deterministic synthetic coordinates from an integer id — pure integer
     * arithmetic + one exact division, so Spark and DuckDB agree bit-for-bit. */
   private def derivedLat(id: Column): Column = (id * 7919L % 168000L) / 1000.0 - 84.0
