@@ -102,7 +102,9 @@ object Bench {
     val sf = SparkEntry.sfOf(sfDir)
     // materialise synth inputs AND the per-sf persisted indexes up front so
     // query timings measure queries, not first-run cache population; build
-    // time is reported separately in the artifact ("build_sec")
+    // time is reported separately in the artifact ("build_sec"). prebuild
+    // is per-item fault-tolerant (-1 = failed) — a broken store surfaces in
+    // the queries that need it, never as a lost artifact
     val builds = SparkEntry.prebuild(spark, sfDir)
     // page-cache + JIT warmup: touch every input table and run one small
     // shuffle so the alphabetically-first query doesn't absorb session
@@ -118,6 +120,9 @@ object Bench {
     // a failed query must never masquerade as a fast timing: errors are
     // collected and reported in an "errors" field of the bench JSON
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    builds.filter(_._2 < 0).foreach { case (k, _) =>
+      errors(s"prebuild_$k") = "store build failed; dependent queries will error"
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>

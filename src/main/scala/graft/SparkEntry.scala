@@ -45,10 +45,16 @@ object SparkEntry {
     * queries, so their `ensure` calls cache-hit), returning build seconds
     * per store. Bench runs this BEFORE its timed loop so the artifact
     * measures queries, not first-run cache population (round-4 bench
-    * carried a ~6 s index build inside q_incremental_dedup's timing). */
+    * carried a ~6 s index build inside q_incremental_dedup's timing).
+    * Per-item fault-tolerant: a failed build reports -1 and the bench
+    * still runs — the queries needing that store then fail individually
+    * into the errors field, exactly as they did pre-prebuild (a broken
+    * input table must never cost the whole artifact). */
   def prebuild(s: SparkSession, dir: String): Seq[(String, Double)] = {
     def timed(f: => Any): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      val t0 = System.nanoTime()
+      try { f; (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
     val sf = sfOf(dir)
     Seq(

@@ -309,8 +309,17 @@ object Dedup {
     * lineage cannot recompute); Some(dir) = RELIABLE checkpoint into that
     * (HDFS/S3) directory, the deployable setting for a real cluster where
     * executor loss is routine. Both produce identical assignments
-    * (spec-pinned); the spark context's checkpoint dir is set on demand and
-    * restored afterwards.
+    * (spec-pinned). Each round checkpoints into a fresh subdir of `dir`
+    * and the PREVIOUS round's files are deleted as soon as the new round
+    * is materialized, so checkpoint storage stays bounded at ~2 edge-set
+    * copies instead of accruing one per round for the application's life;
+    * only the final assignment's subdir survives — the caller owns deleting
+    * `dir` once done with the result. The context's checkpoint-dir setting
+    * is process-global: this operator serialises its own concurrent
+    * invocations around it (and leaves it pointing at `dir` afterwards —
+    * restoring the old value would race with concurrent users); external
+    * code doing reliable checkpoints concurrently must coordinate its own
+    * directory.
     *
     * Returns (id -> component, rounds). `component` is the minimum member id;
     * throws if maxIter rounds pass without convergence (a dedup pass that
@@ -319,13 +328,29 @@ object Dedup {
       idB: String = "id_b", maxIter: Int = 50,
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val sc = pairs.sparkSession.sparkContext
-    val prevCkptDir = sc.getCheckpointDir
-    checkpointDir.foreach(sc.setCheckpointDir)
-    def checkpointed(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
-    try componentsLoop(pairs, idA, idB, maxIter, checkpointed)
-    finally org.apache.spark.graft.ListenerBridge.restoreCheckpointDir(sc, prevCkptDir)
+    var lastCkpt: Option[org.apache.hadoop.fs.Path] = None
+    def checkpointed(df: DataFrame): DataFrame = checkpointDir match {
+      case None => df.localCheckpoint(true)
+      case Some(base) => ckptLock.synchronized {
+        // setCheckpointDir appends a fresh UUID subdir per call, giving each
+        // round its own directory; eager checkpoint means the previous
+        // round's files are provably unreferenced once this returns
+        sc.setCheckpointDir(base)
+        val cur = sc.getCheckpointDir.map(new org.apache.hadoop.fs.Path(_))
+        val out = df.checkpoint(true)
+        lastCkpt.foreach(p =>
+          p.getFileSystem(sc.hadoopConfiguration).delete(p, true))
+        lastCkpt = cur
+        out
+      }
+    }
+    componentsLoop(pairs, idA, idB, maxIter, checkpointed)
   }
+
+  /** Serialises (set-checkpoint-dir, checkpoint, delete-previous) triples
+    * across concurrent componentsWithStats invocations — the checkpoint dir
+    * is one mutable slot per SparkContext. */
+  private val ckptLock = new Object
 
   private def componentsLoop(pairs: DataFrame, idA: String, idB: String,
       maxIter: Int, checkpointed: DataFrame => DataFrame): (DataFrame, Int) = {

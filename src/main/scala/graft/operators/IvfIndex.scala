@@ -46,14 +46,9 @@ object IvfIndex {
     // by sf alone would silently serve a stale 16-centroid index to a
     // caller asking for 64 centroids
     val dir = s"target/synth/sf$sf/ivf_k${kCentroids}_i$kmeansIters"
-    val marker = new Path(dir, "_BUILT")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def done = fs.exists(marker)
+    def done = StoreMarker.exists(spark, dir)
     if (!done) synchronized {
-      if (!done) {
-        build(corpus, dir, kCentroids, kmeansIters)
-        fs.create(marker, true).close()
-      }
+      if (!done) rebuild(spark, dir, corpus, kCentroids, kmeansIters)
     }
     dir
   }
@@ -66,14 +61,15 @@ object IvfIndex {
   def build(corpus: DataFrame, dir: String, kCentroids: Int = 64,
       kmeansIters: Int = 1): Array[Array[Float]] = {
     val spark = corpus.sparkSession
-    val marker = new Path(dir, "_BUILT")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) fs.delete(marker, false)
+    // ALL read-only work (sampling, validation, Lloyd refinement) runs
+    // BEFORE the marker drop: a rebuild attempt over an empty/bad corpus
+    // must fail without invalidating the perfectly good existing index
     val sampled = Similarity.sampleCentroids(corpus, kCentroids)
     require(sampled.nonEmpty, "empty corpus")
     val cents =
       if (kmeansIters > 0) Similarity.refineCentroids(corpus, sampled, kmeansIters)
       else sampled
+    StoreMarker.invalidate(spark, dir)
     corpus.select(col("tid"), gf.vec_quantize(col("vec")).as("q_t"),
         element_at(gf.ivf_probes(col("vec"), cents, 1), 1).as("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
@@ -91,8 +87,7 @@ object IvfIndex {
   def rebuild(spark: SparkSession, dir: String, corpus: DataFrame,
       kCentroids: Int = 16, kmeansIters: Int = 1): Array[Array[Float]] = {
     val cents = build(corpus, dir, kCentroids, kmeansIters)
-    val marker = new Path(dir, "_BUILT")
-    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).create(marker, true).close()
+    StoreMarker.commit(spark, dir)
     cents
   }
 

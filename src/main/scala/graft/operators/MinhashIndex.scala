@@ -58,13 +58,12 @@ object MinhashIndex {
     // a valid-looking marker over a half-overwritten index (ensure() would
     // then serve the corrupt index — torn-write healing only held for
     // first-time builds)
-    val marker = new Path(dir, "_BUILT")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) fs.delete(marker, false)
+    StoreMarker.invalidate(spark, dir)
     writeParts(docs, idCol, textCol, dir, plan, overwrite = true)
     writePlan(spark, s"$dir/plan.txt", plan)
-    fs.delete(new Path(dir, "tombstones"), true)
-    fs.create(marker, true).close()
+    new Path(dir, "tombstones").getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new Path(dir, "tombstones"), true)
+    StoreMarker.commit(spark, dir)
     plan
   }
 
@@ -72,17 +71,68 @@ object MinhashIndex {
     * [[queryNew]] — the index stores whatever it is given). Uses the
     * persisted plan.
     *
+    * Appending a RETIRED id un-retires it (re-ingest supersedes the
+    * retirement — without this, a tombstone would silently suppress the
+    * re-ingested rows too and every later batch would miss its near-dups):
+    * the id's tombstone is removed after the batch lands, and queryNew's
+    * max_by resolution already makes the newest text win verification.
+    *
     * Crash semantics (no marker covers appends): shingles are written
     * BEFORE bands, so a torn append leaves shingle rows with no band rows —
     * the batch is merely invisible to candidate generation (fail-safe), not
     * silently pair-dropping (band rows whose shingle lookup misses would
-    * be). Re-running the append after a crash is safe: duplicate band rows
-    * collapse in the candidate distinct and duplicate shingle rows in the
-    * per-id lookup aggregate. */
+    * be). The un-retire runs LAST, so a crash mid-append leaves the
+    * tombstone in place (conservative). Re-running the append after a
+    * crash is safe: duplicate band rows collapse in the candidate distinct,
+    * duplicate shingle rows in the per-id lookup aggregate, and the replay
+    * completes the pending un-retire. */
   def append(spark: SparkSession, dir: String, docs: DataFrame,
-      idCol: String, textCol: String): Unit =
+      idCol: String, textCol: String): Unit = {
     writeParts(docs, idCol, textCol, dir, readPlan(spark, s"$dir/plan.txt"),
       overwrite = false)
+    unretire(spark, dir, docs.select(col(idCol).cast("long").as("id")))
+  }
+
+  /** Remove `ids` from the tombstone set (no-op without tombstones or
+    * overlap — the common append pays ONE driver FS check). The rewrite
+    * stages the new set, parks the old set, and swaps via CHECKED renames;
+    * every torn intermediate is healed by [[resolveTombstones]] on the next
+    * read, preferring the staged new set (complete by construction — it is
+    * fully written before any rename). */
+  private def unretire(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val tomb = resolveTombstones(spark, dir).getOrElse(return)
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hit = readTombstones(spark, dir).join(ids, Seq("id"), "left_semi").count()
+    if (hit == 0) return
+    val newP = new Path(dir, ".tombstones_new")
+    val oldP = new Path(dir, ".tombstones_old")
+    readTombstones(spark, dir).join(ids, Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(newP.toString)
+    if (!fs.rename(tomb, oldP))
+      throw new java.io.IOException(s"unretire: could not park old tombstones in $dir")
+    if (!fs.rename(newP, tomb))
+      throw new java.io.IOException(s"unretire: could not swap tombstones in $dir")
+    fs.delete(oldP, true)
+  }
+
+  /** Resolve the tombstone dir, healing any torn [[unretire]] swap first:
+    * the staged new set wins when present (it is complete before the first
+    * rename), else the parked old set is restored (conservative — a
+    * suppressed id stays suppressed until the append replays). Returns None
+    * when the index has no tombstones. */
+  private def resolveTombstones(spark: SparkSession, dir: String): Option[Path] = {
+    val tomb = new Path(dir, "tombstones")
+    val oldP = new Path(dir, ".tombstones_old")
+    val newP = new Path(dir, ".tombstones_new")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tomb)) {
+      if (fs.exists(newP)) fs.rename(newP, tomb)
+      else if (fs.exists(oldP)) fs.rename(oldP, tomb)
+    }
+    if (fs.exists(oldP)) fs.delete(oldP, true)
+    if (fs.exists(newP)) fs.delete(newP, true)
+    if (fs.exists(tomb)) Some(tomb) else None
+  }
 
   /** Retire documents from the index (dropped by a later dedup pass,
     * takedown, re-ingest supersedure): appends their ids to a TOMBSTONE set
@@ -92,9 +142,9 @@ object MinhashIndex {
     * duplicate tombstone rows are harmless (anti-join semantics).
     *
     * Tombstoned rows still occupy storage until [[compact]] rewrites the
-    * index. Re-ingesting a retired id requires `compact()` first (clearing
-    * the tombstone), then `append` — a tombstone suppresses ALL stored rows
-    * of that id, including ones appended after the retire. */
+    * index. Re-ingesting a retired id via [[append]] (or the streaming
+    * path) UN-retires it — the new content supersedes the retirement, and
+    * queryNew's max_by resolution makes the newest text win verification. */
   def retire(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit =
     ids.select(col(idCol).cast("long").as("id")).distinct()
       .write.mode("append").parquet(s"$dir/tombstones")
@@ -107,7 +157,7 @@ object MinhashIndex {
     * torn-write contract as [[build]]). No-op when nothing is tombstoned. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(dir, "tombstones"))) return
+    if (resolveTombstones(spark, dir).isEmpty) return
     val tombs = readTombstones(spark, dir)
     val staged = s"$dir/.compact"
     spark.read.schema(bandSchema).parquet(s"$dir/bands")
@@ -116,15 +166,22 @@ object MinhashIndex {
     spark.read.schema(shingleSchema).parquet(s"$dir/shingles")
       .join(tombs, Seq("id"), "left_anti")
       .write.mode("overwrite").parquet(s"$staged/shingles")
-    val marker = new Path(dir, "_BUILT")
-    if (fs.exists(marker)) fs.delete(marker, false)
-    fs.delete(new Path(dir, "bands"), true)
-    fs.delete(new Path(dir, "shingles"), true)
-    fs.rename(new Path(staged, "bands"), new Path(dir, "bands"))
-    fs.rename(new Path(staged, "shingles"), new Path(dir, "shingles"))
+    StoreMarker.invalidate(spark, dir)
+    // every rename result is CHECKED: on object stores a rename can fail by
+    // returning false without throwing, and proceeding would delete the
+    // staged copy (the only surviving band/shingle data) and then commit
+    // the marker over a gutted index. On failure we throw with the staged
+    // dir intact and the marker absent — ensure() heals by rebuilding.
+    def renamed(from: Path, to: Path): Unit = {
+      fs.delete(to, true)
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"compact: could not swap $from -> $to")
+    }
+    renamed(new Path(staged, "bands"), new Path(dir, "bands"))
+    renamed(new Path(staged, "shingles"), new Path(dir, "shingles"))
     fs.delete(new Path(dir, "tombstones"), true)
     fs.delete(new Path(staged), true)
-    fs.create(marker, true).close()
+    StoreMarker.commit(spark, dir)
   }
 
   private val tombSchema = StructType(Seq(StructField("id", LongType, nullable = false)))
@@ -133,13 +190,12 @@ object MinhashIndex {
     spark.read.schema(tombSchema).parquet(s"$dir/tombstones")
 
   /** Anti-join the tombstone set when one exists; the common no-tombstone
-    * case keeps the exact pre-lifecycle plan (one driver-side FS check). */
-  private def minusTombstones(spark: SparkSession, dir: String, df: DataFrame): DataFrame = {
-    val p = new Path(dir, "tombstones")
-    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      df.join(readTombstones(spark, dir), Seq("id"), "left_anti")
-    else df
-  }
+    * case keeps the exact pre-lifecycle plan (driver-side FS checks only). */
+  private def minusTombstones(spark: SparkSession, dir: String, df: DataFrame): DataFrame =
+    resolveTombstones(spark, dir) match {
+      case Some(_) => df.join(readTombstones(spark, dir), Seq("id"), "left_anti")
+      case None => df
+    }
 
   private def writeParts(docs: DataFrame, idCol: String, textCol: String,
       dir: String, plan: Dedup.MinhashPlan, overwrite: Boolean): Unit = {
@@ -270,9 +326,7 @@ object MinhashIndex {
       idCol: String, textCol: String, shingleN: Int = 0,
       numHashes: Int = 0, bands: Int = 0): String = {
     val dir = s"target/synth/sf$sf/minhash_idx_${tag}_s${shingleN}_h${numHashes}_b$bands"
-    val marker = new Path(dir, "_BUILT")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def done = fs.exists(marker)
+    def done = StoreMarker.exists(spark, dir)
     if (!done) synchronized {
       if (!done) build(docs, idCol, textCol, dir, shingleN = shingleN,
         numHashes = numHashes, bands = bands)

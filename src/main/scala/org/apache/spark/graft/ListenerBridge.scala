@@ -11,11 +11,4 @@ import org.apache.spark.SparkContext
 object ListenerBridge {
   def waitUntilListenerBusEmpty(sc: SparkContext, timeoutMs: Long = 30000L): Unit =
     sc.listenerBus.waitUntilEmpty(timeoutMs)
-
-  /** Restore a previously captured checkpoint-dir setting, INCLUDING the
-    * unset state: the public setCheckpointDir cannot take None back, so a
-    * scoped "use this reliable checkpoint dir for one operator" would
-    * otherwise leak its dir into the caller's context forever. */
-  def restoreCheckpointDir(sc: SparkContext, dir: Option[String]): Unit =
-    sc.checkpointDir = dir
 }

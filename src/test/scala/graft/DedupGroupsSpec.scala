@@ -60,18 +60,22 @@ class DedupGroupsSpec extends AnyFunSuite {
     val pairs = ((10L to 14L).flatMap(a => ((a + 1) to 14L).map((a, _))) ++
       (0L until 19L).map(i => (1000L + i, 1001L + i))).toDF("id_a", "id_b")
     val ckptDir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
-    val prev = spark.sparkContext.getCheckpointDir
     val (local, rLocal) = Dedup.componentsWithStats(pairs)
     val (reliable, rReliable) = Dedup.componentsWithStats(pairs,
       checkpointDir = Some(ckptDir))
-    assert(local.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
-      reliable.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val reliableRows = reliable.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == reliableRows)
     assert(rLocal == rReliable)
-    // reliable checkpoint actually wrote into the requested dir...
-    val wrote = new java.io.File(ckptDir).listFiles()
-    assert(wrote != null && wrote.nonEmpty, s"no checkpoint data under $ckptDir")
-    // ...and the caller's checkpoint-dir setting was restored
-    assert(spark.sparkContext.getCheckpointDir == prev)
+    // reliable checkpoint wrote into the requested dir, and every
+    // intermediate round's files were deleted as soon as the next round
+    // materialized — ONLY the final assignment's subdir survives (bounded
+    // storage: without the cleanup the dir would hold one edge-set copy
+    // per checkpoint for the life of the application)
+    val subdirs = new java.io.File(ckptDir).listFiles()
+    assert(subdirs != null && subdirs.length == 1,
+      s"want exactly the final checkpoint under $ckptDir, got ${Option(subdirs).map(_.toSeq)}")
+    // the surviving checkpoint is the one backing the returned assignment
+    assert(reliable.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == reliableRows)
   }
 
   test("components: empty pair set and bounded rounds") {

@@ -155,6 +155,27 @@ class MinhashIndexSpec extends AnyFunSuite {
     assert(logged.contains((1L, 41L)) && !logged.exists(p => p._1 == 11L || p._2 == 11L))
   }
 
+  test("re-ingesting a retired id un-retires it: later batches see its near-dups again") {
+    val old = corpus(1L to 20L)
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_ur").toString
+    MinhashIndex.build(old, "doc_id", "text", dir)
+    MinhashIndex.retire(spark, dir, Seq(1L).toDF("doc_id"), "doc_id")
+    // retired: a clone of doc 1 finds only the other clone slots (11)
+    val during = pairSet(MinhashIndex.queryNew(spark, dir, corpus(Seq(41L)), "doc_id", "text", tau = 0.5))
+    assert(!during.exists(p => p._1 == 1L || p._2 == 1L) && during.contains((11L, 41L)))
+    // the stream re-ingests doc 1 with new content (supersedure): the
+    // append must clear its tombstone, not leave it permanently invisible
+    MinhashIndex.append(spark, dir,
+      Seq((1L, "the quick brown fox jumps over the lazy dog and keeps running onward"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val after = pairSet(MinhashIndex.queryNew(spark, dir, corpus(Seq(51L)), "doc_id", "text", tau = 0.5))
+    assert(after.contains((1L, 51L)), s"re-ingested doc 1 still invisible: $after")
+    // an id retired but NOT re-ingested stays suppressed
+    MinhashIndex.retire(spark, dir, Seq(11L).toDF("doc_id"), "doc_id")
+    val after2 = pairSet(MinhashIndex.queryNew(spark, dir, corpus(Seq(61L)), "doc_id", "text", tau = 0.5))
+    assert(after2.contains((1L, 61L)) && !after2.exists(p => p._1 == 11L || p._2 == 11L))
+  }
+
   test("ensure keys the cached index by the FULL plan: any knob change rebuilds") {
     val docs = corpus(1L to 20L)
     val d1 = MinhashIndex.ensure(spark, 0.000001, "keyspec", docs, "doc_id", "text",

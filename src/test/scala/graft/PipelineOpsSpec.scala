@@ -187,6 +187,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ids.forall(_ % 2 == 1))
   }
 
+  test("IvfIndex: a rebuild attempt over a bad corpus must not invalidate the existing index") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.select($"vec_id".as("tid"), $"embedding".as("vec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_guard").toString
+    IvfIndex.rebuild(spark, dir, corpus, kCentroids = 4, kmeansIters = 0)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(marker))
+    // empty corpus = pure validation failure: must throw BEFORE dropping
+    // the marker (an upstream filter bug must not destroy availability)
+    intercept[IllegalArgumentException] {
+      IvfIndex.rebuild(spark, dir, corpus.where($"tid" < 0), kCentroids = 4, kmeansIters = 0)
+    }
+    assert(fs.exists(marker), "validation failure invalidated a good index")
+    val queries = corpus.limit(3).select($"tid".as("qid"), $"vec")
+    assert(IvfIndex.query(spark, dir, queries, k = 2, nProbe = 2).count() > 0)
+  }
+
   test("lshPlan scales bits-per-band with corpus size, capped at one Long") {
     // tiny corpus: narrow bands (high recall); big corpus: full 64-bit sig
     val (b1, n1) = Similarity.lshPlan(100, bands = 4)
