@@ -74,7 +74,39 @@ object IvfIndex {
         element_at(gf.ivf_probes(col("vec"), cents, 1), 1).as("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
     writeCentroids(spark, s"$dir/centroids.txt", cents)
+    Tombstones.clear(spark, dir) // fresh lists carry no retirees
     cents
+  }
+
+  /** Retire vectors from the index (takedown / superseded embeddings):
+    * tombstoned tids are anti-joined out of every [[query]] immediately;
+    * storage is reclaimed by [[compact]] (or any rebuild). Same lifecycle
+    * contract as [[MinhashIndex.retire]], same shared [[Tombstones]]
+    * machinery. */
+  def retire(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit =
+    Tombstones.retire(spark, dir, ids, idCol)
+
+  /** Rewrite the inverted lists minus tombstoned vectors, then clear the
+    * tombstones. The centroids are untouched (compaction reclaims storage;
+    * re-clustering is [[rebuild]]'s job). Crash-safe via the marker
+    * protocol: staged copy first, marker dropped only for the swap window,
+    * torn states heal through ensure()'s rebuild. Partitioned parquet in,
+    * partitioned parquet out — partition pruning in [[query]] is
+    * unaffected. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (Tombstones.resolve(spark, dir).isEmpty) return
+    val staged = new Path(dir, ".compact_lists")
+    spark.read.schema(listSchema).parquet(s"$dir/lists")
+      .join(Tombstones.read(spark, dir).select(col("id").as("tid")), Seq("tid"), "left_anti")
+      .write.mode("overwrite").partitionBy("cid").parquet(staged.toString)
+    StoreMarker.invalidate(spark, dir)
+    val lists = new Path(dir, "lists")
+    fs.delete(lists, true)
+    if (!fs.rename(staged, lists))
+      throw new java.io.IOException(s"compact: could not swap $staged -> $lists")
+    Tombstones.clear(spark, dir)
+    StoreMarker.commit(spark, dir)
   }
 
   /** Re-cluster + rewrite an existing index IN PLACE from the current
@@ -102,8 +134,13 @@ object IvfIndex {
     // it is a driver-sized constant — and an IN-list literal is what Catalyst
     // prunes partitions with (a join would scan every list)
     val cids = probed.select("cid").distinct().collect().map(_.getInt(0)).sorted
-    val lists = spark.read.schema(listSchema).parquet(s"$dir/lists")
-      .where(col("cid").isin(cids.map(Integer.valueOf).toSeq: _*))
+    // retired vectors are anti-joined out AFTER partition pruning (the
+    // tombstone set is small — AQE broadcasts it; no-tombstone reads keep
+    // the exact original pruned plan)
+    val lists = Tombstones.minus(spark, dir,
+      spark.read.schema(listSchema).parquet(s"$dir/lists")
+        .where(col("cid").isin(cids.map(Integer.valueOf).toSeq: _*)),
+      "tid")
     // exact re-rank via the ONE shared output contract (Similarity.rerankTopK)
     Similarity.rerankTopK(probed.join(lists, "cid"), k)
   }

@@ -93,46 +93,11 @@ object MinhashIndex {
     unretire(spark, dir, docs.select(col(idCol).cast("long").as("id")))
   }
 
-  /** Remove `ids` from the tombstone set (no-op without tombstones or
-    * overlap — the common append pays ONE driver FS check). The rewrite
-    * stages the new set, parks the old set, and swaps via CHECKED renames;
-    * every torn intermediate is healed by [[resolveTombstones]] on the next
-    * read, preferring the staged new set (complete by construction — it is
-    * fully written before any rename). */
-  private def unretire(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
-    val tomb = resolveTombstones(spark, dir).getOrElse(return)
-    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hit = readTombstones(spark, dir).join(ids, Seq("id"), "left_semi").count()
-    if (hit == 0) return
-    val newP = new Path(dir, ".tombstones_new")
-    val oldP = new Path(dir, ".tombstones_old")
-    readTombstones(spark, dir).join(ids, Seq("id"), "left_anti")
-      .write.mode("overwrite").parquet(newP.toString)
-    if (!fs.rename(tomb, oldP))
-      throw new java.io.IOException(s"unretire: could not park old tombstones in $dir")
-    if (!fs.rename(newP, tomb))
-      throw new java.io.IOException(s"unretire: could not swap tombstones in $dir")
-    fs.delete(oldP, true)
-  }
+  private def unretire(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    Tombstones.unretire(spark, dir, ids, "id")
 
-  /** Resolve the tombstone dir, healing any torn [[unretire]] swap first:
-    * the staged new set wins when present (it is complete before the first
-    * rename), else the parked old set is restored (conservative — a
-    * suppressed id stays suppressed until the append replays). Returns None
-    * when the index has no tombstones. */
-  private def resolveTombstones(spark: SparkSession, dir: String): Option[Path] = {
-    val tomb = new Path(dir, "tombstones")
-    val oldP = new Path(dir, ".tombstones_old")
-    val newP = new Path(dir, ".tombstones_new")
-    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(tomb)) {
-      if (fs.exists(newP)) fs.rename(newP, tomb)
-      else if (fs.exists(oldP)) fs.rename(oldP, tomb)
-    }
-    if (fs.exists(oldP)) fs.delete(oldP, true)
-    if (fs.exists(newP)) fs.delete(newP, true)
-    if (fs.exists(tomb)) Some(tomb) else None
-  }
+  private def minusTombstones(spark: SparkSession, dir: String, df: DataFrame): DataFrame =
+    Tombstones.minus(spark, dir, df, "id")
 
   /** Retire documents from the index (dropped by a later dedup pass,
     * takedown, re-ingest supersedure): appends their ids to a TOMBSTONE set
@@ -146,8 +111,7 @@ object MinhashIndex {
     * path) UN-retires it — the new content supersedes the retirement, and
     * queryNew's max_by resolution makes the newest text win verification. */
   def retire(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit =
-    ids.select(col(idCol).cast("long").as("id")).distinct()
-      .write.mode("append").parquet(s"$dir/tombstones")
+    Tombstones.retire(spark, dir, ids, idCol)
 
   /** Rewrite bands/shingles minus tombstoned ids, then clear the tombstones
     * — the storage-reclaim half of the retire lifecycle. Crash-safe via the
@@ -157,8 +121,8 @@ object MinhashIndex {
     * torn-write contract as [[build]]). No-op when nothing is tombstoned. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (resolveTombstones(spark, dir).isEmpty) return
-    val tombs = readTombstones(spark, dir)
+    if (Tombstones.resolve(spark, dir).isEmpty) return
+    val tombs = Tombstones.read(spark, dir)
     val staged = s"$dir/.compact"
     spark.read.schema(bandSchema).parquet(s"$dir/bands")
       .join(tombs, Seq("id"), "left_anti")
@@ -179,23 +143,10 @@ object MinhashIndex {
     }
     renamed(new Path(staged, "bands"), new Path(dir, "bands"))
     renamed(new Path(staged, "shingles"), new Path(dir, "shingles"))
-    fs.delete(new Path(dir, "tombstones"), true)
+    Tombstones.clear(spark, dir)
     fs.delete(new Path(staged), true)
     StoreMarker.commit(spark, dir)
   }
-
-  private val tombSchema = StructType(Seq(StructField("id", LongType, nullable = false)))
-
-  private def readTombstones(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(tombSchema).parquet(s"$dir/tombstones")
-
-  /** Anti-join the tombstone set when one exists; the common no-tombstone
-    * case keeps the exact pre-lifecycle plan (driver-side FS checks only). */
-  private def minusTombstones(spark: SparkSession, dir: String, df: DataFrame): DataFrame =
-    resolveTombstones(spark, dir) match {
-      case Some(_) => df.join(readTombstones(spark, dir), Seq("id"), "left_anti")
-      case None => df
-    }
 
   private def writeParts(docs: DataFrame, idCol: String, textCol: String,
       dir: String, plan: Dedup.MinhashPlan, overwrite: Boolean): Unit = {

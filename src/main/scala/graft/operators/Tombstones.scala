@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Shared tombstone set for persisted indexes ([[MinhashIndex]], [[IvfIndex]]):
+ * retired ids live in `<dir>/tombstones` (long ids, duplicates harmless) and
+ * are anti-joined out of reads until a compaction rewrites the store. One
+ * audited copy of the swap/heal protocol — like [[StoreMarker]], the
+ * crash-ordering rules must not fork per index type.
+ *
+ * Un-retire rewrites the set via stage → park → checked renames; a crash at
+ * any point is healed by [[resolve]] on the next read, preferring the staged
+ * NEW set (it is complete before the first rename), else restoring the
+ * parked old set (conservative: a suppressed id stays suppressed until the
+ * append replays).
+ */
+private[graft] object Tombstones {
+
+  private val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+
+  private def paths(dir: String) = (
+    new Path(dir, "tombstones"),
+    new Path(dir, ".tombstones_old"),
+    new Path(dir, ".tombstones_new"))
+
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(schema).parquet(s"$dir/tombstones")
+
+  /** Append retired ids (idempotent — anti-join semantics absorb dups). */
+  def retire(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** Resolve the tombstone dir, healing any torn [[unretire]] swap first.
+    * Returns None when the store has no tombstones. */
+  def resolve(spark: SparkSession, dir: String): Option[Path] = {
+    val (tomb, oldP, newP) = paths(dir)
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tomb)) {
+      if (fs.exists(newP)) fs.rename(newP, tomb)
+      else if (fs.exists(oldP)) fs.rename(oldP, tomb)
+    }
+    if (fs.exists(oldP)) fs.delete(oldP, true)
+    if (fs.exists(newP)) fs.delete(newP, true)
+    if (fs.exists(tomb)) Some(tomb) else None
+  }
+
+  /** Anti-join the tombstone set out of `df` (matching on `idCol`) when one
+    * exists; the common no-tombstone case keeps the exact original plan
+    * (driver-side FS checks only). */
+  def minus(spark: SparkSession, dir: String, df: DataFrame, idCol: String): DataFrame =
+    resolve(spark, dir) match {
+      case Some(_) =>
+        df.join(read(spark, dir).select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      case None => df
+    }
+
+  /** Remove `ids` from the tombstone set (no-op without tombstones or
+    * overlap). Stage → park → checked renames; see the object scaladoc for
+    * the heal contract. */
+  def unretire(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit = {
+    val tomb = resolve(spark, dir).getOrElse(return)
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val longIds = ids.select(col(idCol).cast("long").as("id"))
+    if (read(spark, dir).join(longIds, Seq("id"), "left_semi").count() == 0) return
+    val (_, oldP, newP) = paths(dir)
+    read(spark, dir).join(longIds, Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(newP.toString)
+    if (!fs.rename(tomb, oldP))
+      throw new java.io.IOException(s"unretire: could not park old tombstones in $dir")
+    if (!fs.rename(newP, tomb))
+      throw new java.io.IOException(s"unretire: could not swap tombstones in $dir")
+    fs.delete(oldP, true)
+  }
+
+  /** Drop the whole tombstone set (after a compaction made it redundant). */
+  def clear(spark: SparkSession, dir: String): Unit = {
+    val (tomb, oldP, newP) = paths(dir)
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(tomb, oldP, newP).foreach(p => if (fs.exists(p)) fs.delete(p, true))
+  }
+}

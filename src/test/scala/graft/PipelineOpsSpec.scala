@@ -187,6 +187,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ids.forall(_ % 2 == 1))
   }
 
+  test("IvfIndex retire/compact: tombstoned vectors leave results now, storage at compaction") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.select($"vec_id".as("tid"), $"embedding".as("vec"))
+    val queries = emb.where($"vec_id" % 100 === 0).select($"vec_id".as("qid"), $"embedding".as("vec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_ret").toString
+    IvfIndex.rebuild(spark, dir, corpus, kCentroids = 4, kmeansIters = 0)
+    // retire the top-1 answer of the first query: it must vanish from
+    // results immediately, with every remaining rank still correctly formed
+    val first = IvfIndex.query(spark, dir, queries, k = 3, nProbe = 4)
+      .where($"rn" === 1).orderBy($"qid").limit(1).collect()(0)
+    val victim = first.getLong(1)
+    IvfIndex.retire(spark, dir, Seq(victim).toDF("tid"), "tid")
+    val after = IvfIndex.query(spark, dir, queries, k = 3, nProbe = 4)
+    assert(after.where($"tid" === victim).count() == 0, s"retired tid $victim still returned")
+    assert(after.groupBy($"qid").count().where($"count" =!= 3).count() == 0)
+
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def listBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(dir, "lists")).getLength
+    val before = listBytes
+    val preCompact = after.collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    IvfIndex.compact(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "tombstones")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_BUILT")))
+    assert(listBytes < before)
+    // compacted answers == tombstone-filtered answers, and the victim's
+    // rows are physically gone
+    val post = IvfIndex.query(spark, dir, queries, k = 3, nProbe = 4)
+    assert(post.collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap == preCompact)
+    assert(spark.read.parquet(s"$dir/lists").where($"tid" === victim).count() == 0)
+  }
+
   test("IvfIndex: a rebuild attempt over a bad corpus must not invalidate the existing index") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val corpus = emb.select($"vec_id".as("tid"), $"embedding".as("vec"))
