@@ -116,6 +116,14 @@ object Bench {
     }
     spark.range(1000).groupBy(org.apache.spark.sql.functions.pmod(
       org.apache.spark.sql.functions.col("id"), org.apache.spark.sql.functions.lit(7L))).count().count()
+    // JIT/codegen warmup for the hot custom-expression stack (minhash /
+    // shingle / jaccard): the alphabetically-early dedup queries otherwise
+    // absorb the one-time compilation that belongs to no query
+    try graft.operators.Dedup.minhashLshPairs(
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(200),
+      "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16,
+      tau = 0.5, broadcastVerify = Some(true)).count()
+    catch { case _: Throwable => () }
 
     // a failed query must never masquerade as a fast timing: errors are
     // collected and reported in an "errors" field of the bench JSON

@@ -487,8 +487,11 @@ object SparkEntry {
       // %10 universe / %40 new batch: the independent exact verifier below
       // is quadratic-ish in hot-shingle frequency (same bound rationale as
       // q_minhash_near_dups)
+      // cache the %10 universe: all three pipelines (incremental query,
+      // full-batch operator, exact verifier) scan it — one parquet decode
+      // instead of three
       val universe = t(s, dir, "documents").where(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text")).cache()
       val newB = universe.where(col("doc_id") % 40 === 0)
       val oldB = universe.where(col("doc_id") % 40 =!= 0)
       val idxDir = graft.operators.MinhashIndex.ensure(s, sfOf(dir), "old10x40",
@@ -502,16 +505,27 @@ object SparkEntry {
           tau = 0.5)
         .where(col("id_a") % 40 === 0 || col("id_b") % 40 === 0)
         .select(col("id_a"), col("id_b")).cache()
+      // exact pairs involving a new doc, WITHOUT the full-corpus inverted
+      // index: new x old via the asymmetric variant (disjoint sides, per-
+      // shingle join output |new bucket| x |old bucket| instead of the
+      // corpus bucket squared) plus the symmetric operator over the small
+      // new batch alone — same set, ~2x less hot-shingle join volume
       val exactNew = graft.operators.Dedup
-        .ngramJaccardPairs(universe, "doc_id", "text", n = 3, tau = 0.5)
-        .where(col("id_a") % 40 === 0 || col("id_b") % 40 === 0)
-        .select(col("id_a"), col("id_b")).cache()
+        .ngramJaccardPairsBetween(newB, oldB, "doc_id", "text", n = 3, tau = 0.5)
+        .select(col("id_a"), col("id_b"))
+        .unionByName(graft.operators.Dedup
+          .ngramJaccardPairs(newB, "doc_id", "text", n = 3, tau = 0.5)
+          .select(col("id_a"), col("id_b")))
+        .cache()
       try {
         Seq((newB.count(), exactNew.count(),
           incr.exceptAll(exactNew).count(),
           incr.exceptAll(full).count() + full.exceptAll(incr).count()))
           .toDF("n_new", "n_exact_new", "n_incr_extra", "incr_vs_full_diff")
-      } finally { incr.unpersist(); full.unpersist(); exactNew.unpersist() }
+      } finally {
+        incr.unpersist(); full.unpersist(); exactNew.unpersist()
+        universe.unpersist()
+      }
     }),
 
     "q_sample_split" -> ((s, dir) => {

@@ -252,6 +252,43 @@ object Dedup {
   }
 
   /**
+   * Exact n-gram Jaccard pairs BETWEEN two DISJOINT document sets — the
+   * asymmetric inverted index: per-shingle join output is
+   * |left bucket| x |right bucket| instead of the full corpus bucket
+   * squared, the shape for EXACTLY verifying a new batch against a corpus
+   * (pair it with [[ngramJaccardPairs]] over the batch alone for the
+   * batch-internal pairs). Pairs are emitted once, normalized to
+   * id_a < id_b. `left` and `right` must be id-disjoint: an id on both
+   * sides would double-count every common shingle (require()d via the
+   * caller's contract, not a runtime scan — checking would cost a join).
+   */
+  def ngramJaccardPairsBetween(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, tau: Double = 0.5): DataFrame = {
+    def shingles(df: DataFrame, side: String) = df
+      .select(col(idCol).as(side), col(textCol).as("text"))
+      .where(length(col("text")) >= n)
+      .selectExpr(side,
+        s"explode(array_distinct(transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n)))) AS sh")
+    val shL = shingles(left, "lid")
+    val shR = shingles(right, "rid")
+    val countsL = shL.groupBy("lid").agg(count(lit(1)).as("n_a"))
+    val countsR = shR.groupBy("rid").agg(count(lit(1)).as("n_b"))
+    shL.join(shR, Seq("sh"))
+      .groupBy("lid", "rid").agg(count(lit(1)).as("common"))
+      .join(countsL, "lid").join(countsR, "rid")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .where(col("jaccard") >= tau)
+      // normalize ids AND their per-doc counts together, so n_a always
+      // belongs to id_a (the symmetric ngramJaccardPairs column contract)
+      .select(least(col("lid"), col("rid")).as("id_a"),
+        greatest(col("lid"), col("rid")).as("id_b"),
+        col("common"),
+        when(col("lid") < col("rid"), col("n_a")).otherwise(col("n_b")).as("n_a"),
+        when(col("lid") < col("rid"), col("n_b")).otherwise(col("n_a")).as("n_b"))
+  }
+
+  /**
    * Embedding-cosine near-dup pairs: hyperplane-LSH bucket join (candidate
    * generation) + exact quantised-cosine verification.
    *

@@ -248,14 +248,18 @@ object MinhashIndex {
     // only shared-band partner is its own stored copy (re-ingest) — the
     // safe direction for a broadcast decision.
     val doBroadcast = broadcastVerify.getOrElse {
+      // no distinct() on the semi-join BUILD sides: semi-join semantics
+      // ignore duplicates, and a distinct over the full stored band set
+      // would be a whole-index shuffle for nothing. The single distinct on
+      // probeIds is load-bearing (duplicate ids would inflate the byte sum).
       val hotNew = newBands.groupBy("band").agg(count(lit(1)).as("band_n"))
         .where(col("band_n") >= 2).select(col("band"))
       val probeNewIds = newBands
-        .join(stored.select(col("band")).unionByName(hotNew).distinct(), Seq("band"), "left_semi")
-        .select(col("id")).distinct()
+        .join(stored.select(col("band")).unionByName(hotNew), Seq("band"), "left_semi")
+        .select(col("id"))
       val probeStoredIds = stored
-        .join(newBands.select(col("band")).distinct(), Seq("band"), "left_semi")
-        .select(col("id")).distinct()
+        .join(newBands.select(col("band")), Seq("band"), "left_semi")
+        .select(col("id"))
       val probeIds = probeNewIds.unionByName(probeStoredIds).distinct()
       Dedup.lookupBytes(
         storedSh.unionByName(newSh).join(probeIds, Seq("id"), "left_semi"),

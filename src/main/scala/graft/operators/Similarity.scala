@@ -95,9 +95,13 @@ object Similarity {
     // probe never re-executes the qid x tid pair join + candidate-distinct
     // (the dominant shuffle at scale; round-4 judge item #1).
     val doBroadcast = broadcastVerify.getOrElse {
-      val qPart = qBand.join(cBand.select(col("band")).distinct(), Seq("band"), "left_semi")
+      // the semi-join build sides stay un-distinct'ed (semi-joins ignore
+      // duplicates; a distinct over the full corpus band set would be a
+      // whole-corpus shuffle); the participant-id distincts ARE needed —
+      // duplicate ids would inflate the measured byte sum
+      val qPart = qBand.join(cBand.select(col("band")), Seq("band"), "left_semi")
         .select(col("qid")).distinct()
-      val tPart = cBand.join(qBand.select(col("band")).distinct(), Seq("band"), "left_semi")
+      val tPart = cBand.join(qBand.select(col("band")), Seq("band"), "left_semi")
         .select(col("tid")).distinct()
       Dedup.lookupBytes(qVec.join(qPart, Seq("qid"), "left_semi"), size(col("q_q"))) +
         Dedup.lookupBytes(cVec.join(tPart, Seq("tid"), "left_semi"), size(col("q_t"))) <=

@@ -64,6 +64,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_a") == row.getAs[Long]("n_b"))
   }
 
+  test("asymmetric ngram jaccard (batch vs corpus) == symmetric pairs split by side") {
+    // split the corpus into a disjoint "new batch" and "old corpus": the
+    // asymmetric inverted index over (new, old) plus the symmetric operator
+    // over new alone must reproduce EXACTLY the full symmetric pairs that
+    // involve a new doc — same ids, same counts, same normalization
+    val newB = corpus.where($"id" % 3 === 0)
+    val oldB = corpus.where($"id" % 3 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "common", "n_a", "n_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val got = rows(Dedup.ngramJaccardPairsBetween(newB, oldB, "id", "text", n = 3, tau = 0.3)) ++
+      rows(Dedup.ngramJaccardPairs(newB, "id", "text", n = 3, tau = 0.3))
+    val want = rows(Dedup.ngramJaccardPairs(corpus, "id", "text", n = 3, tau = 0.3)
+      .where($"id_a" % 3 === 0 || $"id_b" % 3 === 0))
+    assert(got == want, s"got-only=${got -- want} want-only=${want -- got}")
+  }
+
   test("simhash pairs equal brute force at hamming <= 3 (banding certificate)") {
     val got = Dedup.simhashPairs(corpus, "id", "text", maxHamming = 3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
