@@ -338,6 +338,29 @@ object ScaleSoak {
       run(balanced, "ivf_skew_balanced", wantSkewSplit = false)
       System.err.println(f"SOAK skew ratio hot/balanced = ${
         times("ivf_skew_hot") / times("ivf_skew_balanced")}%.2f (target < 2.0)")
+      // the DURABLE answer to quantizer drift is re-clustering, not AQE:
+      // rebuild the quantizer ON the drifted corpus (IvfIndex.rebuild's
+      // exact path — sample + Lloyd over `hot`) and re-run the same query.
+      // With centroids drawn from the actual distribution, several land
+      // inside the formerly-hot cluster, the 50% list shatters, and the
+      // plan needs no skew handling at all.
+      val hotCorpus = hot.select(col("vec_id").as("tid"), col("embedding").as("vec"))
+      val recluster = graft.operators.Similarity.refineCentroids(hotCorpus,
+        graft.operators.Similarity.sampleCentroids(hotCorpus, 64), 1)
+      timed2(times, stats, "ivf_skew_rebuilt") {
+        val c = hot.select(col("vec_id").as("tid"), col("embedding").as("vec"))
+        graft.operators.Similarity.ivfTopKWith(qs, c, k = 10, recluster, nProbe = 4)
+          .collect().length.toLong
+      }
+      // bound matches the hot case: the rebuilt run compares against a
+      // DIFFERENT corpus (balanced), so candidate volumes shift with the
+      // new quantizer and host-throttle windows add noise — measured 0.95
+      // at 100k and 1.15-1.47 at 300k across windows, vs 1.20+skew-split
+      // for the drifted quantizer
+      val rebuiltRatio = times("ivf_skew_rebuilt") / times("ivf_skew_balanced")
+      System.err.println(f"SOAK skew ratio rebuilt/balanced = $rebuiltRatio%.2f (target < 2.0)")
+      require(rebuiltRatio < 2.0,
+        f"re-clustered quantizer should erase the hot-centroid penalty, got $rebuiltRatio%.2f")
     } finally {
       saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
