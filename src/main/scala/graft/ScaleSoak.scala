@@ -348,8 +348,7 @@ object ScaleSoak {
       val recluster = graft.operators.Similarity.refineCentroids(hotCorpus,
         graft.operators.Similarity.sampleCentroids(hotCorpus, 64), 1)
       timed2(times, stats, "ivf_skew_rebuilt") {
-        val c = hot.select(col("vec_id").as("tid"), col("embedding").as("vec"))
-        graft.operators.Similarity.ivfTopKWith(qs, c, k = 10, recluster, nProbe = 4)
+        graft.operators.Similarity.ivfTopKWith(qs, hotCorpus, k = 10, recluster, nProbe = 4)
           .collect().length.toLong
       }
       // bound matches the hot case: the rebuilt run compares against a

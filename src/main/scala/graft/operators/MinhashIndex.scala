@@ -61,8 +61,10 @@ object MinhashIndex {
     StoreMarker.invalidate(spark, dir)
     writeParts(docs, idCol, textCol, dir, plan, overwrite = true)
     writePlan(spark, s"$dir/plan.txt", plan)
-    new Path(dir, "tombstones").getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(new Path(dir, "tombstones"), true)
+    // clear() (not a bare dir delete): a torn un-retire's STAGED set left
+    // behind would be resurrected by the first resolve() and anti-join
+    // freshly indexed docs out of the rebuilt index
+    Tombstones.clear(spark, dir)
     StoreMarker.commit(spark, dir)
     plan
   }

@@ -13,10 +13,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * crash-ordering rules must not fork per index type.
  *
  * Un-retire rewrites the set via stage → park → checked renames; a crash at
- * any point is healed by [[resolve]] on the next read, preferring the staged
- * NEW set (it is complete before the first rename), else restoring the
- * parked old set (conservative: a suppressed id stays suppressed until the
- * append replays).
+ * any point is healed by [[resolve]] on the next read. When the live set is
+ * MISSING (crash mid-swap) the staged new set is restored if present (it is
+ * complete before the first rename), else the parked old set. When the live
+ * set still exists alongside staging leftovers (crash before the park
+ * rename), the LIVE set wins and staging is discarded — conservative: a
+ * suppressed id stays suppressed, and the append replay re-runs the
+ * un-retire to completion. Never the reverse: swapping in a staged set
+ * while a live one exists would race a concurrent in-progress rewrite.
  */
 private[graft] object Tombstones {
 
@@ -30,19 +34,32 @@ private[graft] object Tombstones {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(schema).parquet(s"$dir/tombstones")
 
-  /** Append retired ids (idempotent — anti-join semantics absorb dups). */
-  def retire(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit =
+  /** Append retired ids (idempotent — anti-join semantics absorb dups).
+    * Heals any torn un-retire swap FIRST: appending into a fresh dir while
+    * the real set sat parked in staging would make the next resolve()
+    * discard every previously retired id. */
+  def retire(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit = {
+    resolve(spark, dir)
     ids.select(col(idCol).cast("long").as("id")).distinct()
       .write.mode("append").parquet(s"$dir/tombstones")
+  }
 
   /** Resolve the tombstone dir, healing any torn [[unretire]] swap first.
-    * Returns None when the store has no tombstones. */
+    * Returns None when the store has no tombstones. Heal renames are
+    * CHECKED: on object stores a rename can fail by returning false, and
+    * proceeding would delete the only surviving tombstone copy below —
+    * silently serving retired (taken-down) documents again. */
   def resolve(spark: SparkSession, dir: String): Option[Path] = {
     val (tomb, oldP, newP) = paths(dir)
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tomb)) {
-      if (fs.exists(newP)) fs.rename(newP, tomb)
-      else if (fs.exists(oldP)) fs.rename(oldP, tomb)
+      if (fs.exists(newP)) {
+        if (!fs.rename(newP, tomb))
+          throw new java.io.IOException(s"tombstone heal: could not restore $newP in $dir")
+      } else if (fs.exists(oldP)) {
+        if (!fs.rename(oldP, tomb))
+          throw new java.io.IOException(s"tombstone heal: could not restore $oldP in $dir")
+      }
     }
     if (fs.exists(oldP)) fs.delete(oldP, true)
     if (fs.exists(newP)) fs.delete(newP, true)
@@ -67,9 +84,17 @@ private[graft] object Tombstones {
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val longIds = ids.select(col(idCol).cast("long").as("id"))
     if (read(spark, dir).join(longIds, Seq("id"), "left_semi").count() == 0) return
+    val remaining = read(spark, dir).join(longIds, Seq("id"), "left_anti")
+    if (remaining.count() == 0) {
+      // last tombstone un-retired: CLEAR rather than swap in an empty set —
+      // an empty-but-present dir would cost every future read its
+      // no-tombstone fast path and let compact() rewrite the whole store
+      // over nothing
+      clear(spark, dir)
+      return
+    }
     val (_, oldP, newP) = paths(dir)
-    read(spark, dir).join(longIds, Seq("id"), "left_anti")
-      .write.mode("overwrite").parquet(newP.toString)
+    remaining.write.mode("overwrite").parquet(newP.toString)
     if (!fs.rename(tomb, oldP))
       throw new java.io.IOException(s"unretire: could not park old tombstones in $dir")
     if (!fs.rename(newP, tomb))

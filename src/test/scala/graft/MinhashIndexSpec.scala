@@ -170,6 +170,11 @@ class MinhashIndexSpec extends AnyFunSuite {
         .toDF("doc_id", "text"), "doc_id", "text")
     val after = pairSet(MinhashIndex.queryNew(spark, dir, corpus(Seq(51L)), "doc_id", "text", tau = 0.5))
     assert(after.contains((1L, 51L)), s"re-ingested doc 1 still invisible: $after")
+    // un-retiring the LAST tombstone clears the set entirely (no empty
+    // parquet dir left to cost every future read its no-tombstone fast path)
+    val tombDir = new org.apache.hadoop.fs.Path(dir, "tombstones")
+    assert(!tombDir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tombDir),
+      "empty tombstone set should be cleared, not swapped in")
     // an id retired but NOT re-ingested stays suppressed
     MinhashIndex.retire(spark, dir, Seq(11L).toDF("doc_id"), "doc_id")
     val after2 = pairSet(MinhashIndex.queryNew(spark, dir, corpus(Seq(61L)), "doc_id", "text", tau = 0.5))
