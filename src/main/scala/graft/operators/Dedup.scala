@@ -155,10 +155,15 @@ object Dedup {
     val capped =
       if (maxBandSize <= 0) sig
       else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("band")
-        sig.withColumn("band_n", count(lit(1)).over(w))
-          .where(col("band_n") <= maxBandSize)
-          .drop("band_n")
+        // anti-join against the oversized-band list, NOT a count window:
+        // a window partitioned by band buffers each band's rows in one
+        // task — and the degenerate multi-million-row bands are exactly
+        // what this cap exists for. The groupBy partial-aggregates
+        // map-side and the oversized list is tiny (broadcast anti-join).
+        val oversized = sig.groupBy("band").agg(count(lit(1)).as("band_n"))
+          .where(col("band_n") > maxBandSize)
+          .select(col("band"))
+        sig.join(oversized, Seq("band"), "left_anti")
       }
     val candidates = capped.select(col("id").as("id_a"), col("band"))
       .join(capped.select(col("id").as("id_b"), col("band")), Seq("band"))

@@ -197,14 +197,15 @@ object MinhashIndex {
     val newBands =
       if (maxBandSize <= 0) newBands0
       else {
-        // distinct (band, id) BEFORE counting: a crash-replayed append
-        // leaves duplicate stored band rows, and counting raw rows would
-        // inflate band_n past the cap — silently dropping bands a
-        // full-batch run keeps (the full-batch-equivalence invariant)
+        // count DISTINCT ids per band: a crash-replayed append leaves
+        // duplicate stored band rows, and counting raw rows would inflate
+        // band_n past the cap — silently dropping bands a full-batch run
+        // keeps (the full-batch-equivalence invariant). count_distinct
+        // partial-aggregates map-side; a distinct()-then-count would
+        // shuffle the full index row set first.
         val bad = stored.select(col("band"), col("id"))
           .unionByName(newBands0.select(col("band"), col("id")))
-          .distinct()
-          .groupBy("band").agg(count(lit(1)).as("band_n"))
+          .groupBy("band").agg(count_distinct(col("id")).as("band_n"))
           .where(col("band_n") > maxBandSize)
           .select(col("band"))
         newBands0.join(bad, Seq("band"), "left_anti")
