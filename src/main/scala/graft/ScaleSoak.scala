@@ -127,6 +127,25 @@ object ScaleSoak {
     timed("minhash_lsh_full") { minhashPairs.count() }
     assertPlanted(stats("minhash_lsh_full") == expectedPairs,
       s"minhash planted answer: got ${stats("minhash_lsh_full")}, want $expectedPairs")
+    // bounded-work escape hatch at the scale it exists for: capping band
+    // size at 100 drops the boilerplate clique's degenerate bands (each
+    // holds ~all 600 docs) while keeping every 2-doc edit-pair band. A
+    // RESIDUE of clique pairs survives legitimately: boiler docs whose
+    // varying word won a min-hash position fall into small sub-cap
+    // buckets (measured ~3.7k of the 179.7k clique pairs at 100k) — the
+    // cap's documented partial-recall-on-degenerate-buckets trade, so the
+    // assertion is a band, not an exact count. The cap path itself is the
+    // groupBy + anti-join shape (a count window here would buffer the
+    // degenerate bands it exists to bound).
+    timed("minhash_lsh_capped") {
+      graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        tau = 0.5, maxBandSize = 100).count()
+    }
+    assertPlanted(stats("minhash_lsh_capped") >= expectedEditPairs &&
+      stats("minhash_lsh_capped") <= expectedEditPairs + 600L * 599L / 20L,
+      s"capped minhash: got ${stats("minhash_lsh_capped")}, want " +
+        s"[$expectedEditPairs, ${expectedEditPairs + 600L * 599L / 20L}] " +
+        "(edit pairs + <=5% clique residue)")
     // pair -> group consolidation: the 600-doc clique must collapse to ONE
     // group with 599 drops, edit pairs to 2-member groups; large/small-star
     // must converge (componentsWithStats throws if it loops). The assignment
