@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
  */
 object RefThroughput {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON artifact line
     val Array(fix, out, target) = args.take(3)
     val parallel = args.length > 3 && args(3) == "parallel"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -67,6 +67,7 @@ object ScaleSoak {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON artifact line
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nDocs = sys.env.getOrElse("SOAK_DOCS", "100000").toLong
     val nVecs = sys.env.getOrElse("SOAK_VECS", "100000").toLong

@@ -53,6 +53,7 @@ object ScalingBench {
     val sf = args(1).toDouble
     val n = args(2).toInt
     val reps = args(3).toInt
+    require(reps >= 1 && n >= 1, s"need reps >= 1 and cores >= 1, got reps=$reps cores=$n")
     var docs = 0L
     val times = (1 to reps).map { c =>
       val (t, d) = once(s"local[$n]", n, sf, warm = c == 1)
@@ -63,10 +64,12 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON artifacts
     if (args.nonEmpty && args(0) == "once") return mainOnce(args)
     val sf = if (args.nonEmpty) args(0).toDouble else 0.1
     val n = if (args.length > 1) args(1).toInt else 8
     val cycles = if (args.length > 2) args(2).toInt else 3
+    require(cycles >= 1 && n >= 1, s"need cycles >= 1 and cores >= 1, got cycles=$cycles cores=$n")
 
     var docs = 0L
     val pairs = (1 to cycles).map { c =>
