@@ -74,8 +74,47 @@ object IvfIndex {
         element_at(gf.ivf_probes(col("vec"), cents, 1), 1).as("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
     writeCentroids(spark, s"$dir/centroids.txt", cents)
-    Tombstones.clear(spark, dir) // fresh lists carry no retirees
+    Tombstones.clear(spark, dir) // fresh lists carry no retirees...
+    new Path(dir, "incoming").getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new Path(dir, "incoming"), true) // ...and no stale append batches
     cents
+  }
+
+  /** Append a batch of new vectors to the index at rest WITHOUT
+    * re-clustering: assign each vector to its list under the PERSISTED
+    * quantizer and commit the batch to `incoming/batch=<batchId>` via a
+    * staging-dir + atomic rename (the streamDedup sink pattern) — a
+    * replayed batch whose dir already committed writes nothing, so appends
+    * are exactly-once and a torn write is invisible (staging only).
+    * [[query]] unions committed incoming batches with the main lists;
+    * [[compact]] folds them in. Quantizer drift across many appends is the
+    * signal to [[rebuild]] (the skew soak measures that failure mode). */
+  def append(spark: SparkSession, dir: String, vectors: DataFrame,
+      batchId: Long): Unit = {
+    val committed = new Path(dir, s"incoming/batch=$batchId")
+    val fs = committed.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(committed)) return
+    val cents = readCentroids(spark, s"$dir/centroids.txt")
+    val staging = new Path(dir, s"incoming/.staging/$batchId")
+    vectors.select(col("tid"), gf.vec_quantize(col("vec")).as("q_t"),
+        element_at(gf.ivf_probes(col("vec"), cents, 1), 1).as("cid"))
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.mkdirs(committed.getParent)
+    if (!fs.rename(staging, committed))
+      throw new java.io.IOException(s"could not commit IVF append batch $batchId")
+  }
+
+  /** All committed incoming batches (explicit schema; the hidden `.staging`
+    * dir is excluded by the file index's dot-prefix filter). Empty DF when
+    * none exist. */
+  private def incoming(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new Path(dir, "incoming")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val has = fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
+    if (has)
+      Some(spark.read.schema(listSchema).parquet(s"$dir/incoming")
+        .select(col("tid"), col("q_t"), col("cid")))
+    else None
   }
 
   /** Retire vectors from the index (takedown / superseded embeddings):
@@ -86,25 +125,38 @@ object IvfIndex {
   def retire(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit =
     Tombstones.retire(spark, dir, ids, idCol)
 
-  /** Rewrite the inverted lists minus tombstoned vectors, then clear the
-    * tombstones. The centroids are untouched (compaction reclaims storage;
+  /** Fold committed incoming batches into the cid-partitioned lists and
+    * drop tombstoned vectors, then clear both. The centroids are untouched
+    * (compaction reclaims storage and restores full partition pruning;
     * re-clustering is [[rebuild]]'s job). Crash-safe via the marker
     * protocol: staged copy first, marker dropped only for the swap window,
-    * torn states heal through ensure()'s rebuild. Partitioned parquet in,
-    * partitioned parquet out — partition pruning in [[query]] is
-    * unaffected. */
+    * torn states heal through ensure()'s rebuild. No-op when there is
+    * nothing to fold or drop.
+    *
+    * Replacing a vector (re-ingest) is retire(old) -> compact() ->
+    * append(new): a tombstone suppresses EVERY row of its tid, and unlike
+    * [[MinhashIndex.append]] (whose max_by verification makes automatic
+    * un-retire safe) IVF query results have no newest-row resolution, so
+    * the old row must be physically gone before the new one lands. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (Tombstones.resolve(spark, dir).isEmpty) return
+    val inc = incoming(spark, dir)
+    val hasTombs = Tombstones.resolve(spark, dir).isDefined
+    if (inc.isEmpty && !hasTombs) return
+    val base = spark.read.schema(listSchema).parquet(s"$dir/lists")
+    val all = inc.map(base.unionByName(_)).getOrElse(base)
+    val kept =
+      if (hasTombs)
+        all.join(Tombstones.read(spark, dir).select(col("id").as("tid")), Seq("tid"), "left_anti")
+      else all
     val staged = new Path(dir, ".compact_lists")
-    spark.read.schema(listSchema).parquet(s"$dir/lists")
-      .join(Tombstones.read(spark, dir).select(col("id").as("tid")), Seq("tid"), "left_anti")
-      .write.mode("overwrite").partitionBy("cid").parquet(staged.toString)
+    kept.write.mode("overwrite").partitionBy("cid").parquet(staged.toString)
     StoreMarker.invalidate(spark, dir)
     val lists = new Path(dir, "lists")
     fs.delete(lists, true)
     if (!fs.rename(staged, lists))
       throw new java.io.IOException(s"compact: could not swap $staged -> $lists")
+    fs.delete(new Path(dir, "incoming"), true)
     Tombstones.clear(spark, dir)
     StoreMarker.commit(spark, dir)
   }
@@ -134,13 +186,18 @@ object IvfIndex {
     // it is a driver-sized constant — and an IN-list literal is what Catalyst
     // prunes partitions with (a join would scan every list)
     val cids = probed.select("cid").distinct().collect().map(_.getInt(0)).sorted
+    val cidIn = (df: DataFrame) =>
+      df.where(col("cid").isin(cids.map(Integer.valueOf).toSeq: _*))
+    // committed incoming batches union in (same cid predicate — their
+    // files aren't cid-partitioned, so it is a filter rather than pruning,
+    // bounded by compact() folding them into the main lists)
+    val base = cidIn(spark.read.schema(listSchema).parquet(s"$dir/lists"))
+    val withIncoming = incoming(spark, dir).map(inc => base.unionByName(cidIn(inc)))
+      .getOrElse(base)
     // retired vectors are anti-joined out AFTER partition pruning (the
-    // tombstone set is small — AQE broadcasts it; no-tombstone reads keep
+    // tombstone set is small — AQE broadcasts it; lifecycle-free reads keep
     // the exact original pruned plan)
-    val lists = Tombstones.minus(spark, dir,
-      spark.read.schema(listSchema).parquet(s"$dir/lists")
-        .where(col("cid").isin(cids.map(Integer.valueOf).toSeq: _*)),
-      "tid")
+    val lists = Tombstones.minus(spark, dir, withIncoming, "tid")
     // exact re-rank via the ONE shared output contract (Similarity.rerankTopK)
     Similarity.rerankTopK(probed.join(lists, "cid"), k)
   }

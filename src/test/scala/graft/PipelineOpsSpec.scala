@@ -1,7 +1,7 @@
 package graft
 
 import graft.geo.{TextAlgos, VecAlgos}
-import graft.operators.{Dedup, IvfIndex, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, IvfIndex, Multimodal, Similarity, StoreMarker, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -202,6 +202,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     val ids = spark.read.parquet(s"$dir/lists").select("tid").collect()
       .map(_.getLong(0)).toSet
     assert(ids.forall(_ % 2 == 1))
+  }
+
+  test("IvfIndex append: exactly-once batches visible immediately, folded by compact, parity with rebuild-free full build") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val all = emb.select($"vec_id".as("tid"), $"embedding".as("vec"))
+    val oldC = all.where($"tid" % 3 =!= 0)
+    val newC = all.where($"tid" % 3 === 0)
+    val queries = all.where($"tid" % 100 === 0).select($"tid".as("qid"), $"vec")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    val cents = IvfIndex.build(oldC, dir, kCentroids = 4, kmeansIters = 0)
+    StoreMarker.commit(spark, dir)
+    def topk = IvfIndex.query(spark, dir, queries, k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val before = topk
+
+    IvfIndex.append(spark, dir, newC, batchId = 1L)
+    val after = topk
+    // appended vectors participate immediately, under the SAME quantizer:
+    // results equal the in-memory IVF over old ∪ new with those centroids
+    val want = Similarity.ivfTopKWith(queries, all, k = 3, cents, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(after == want && after != before)
+    // replayed batch (same batchId) writes nothing — exactly-once
+    IvfIndex.append(spark, dir, newC, batchId = 1L)
+    assert(topk == after)
+    assert(spark.read.parquet(s"$dir/incoming").count() == newC.count())
+    // compact folds incoming into the cid-partitioned lists; answers stable
+    IvfIndex.compact(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "incoming")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_BUILT")))
+    assert(topk == after)
+    assert(spark.read.parquet(s"$dir/lists").count() == all.count())
   }
 
   test("IvfIndex retire/compact: tombstoned vectors leave results now, storage at compaction") {
