@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Exactly-once batch commit for persisted stores: write to a hidden staging
+ * dir, COMMIT by a checked atomic rename to `<base>/batch=<id>`. A crash
+ * before the rename leaves only staging garbage (overwritten on replay);
+ * after it, a replay sees the committed dir and writes nothing. One audited
+ * copy — MinhashIndex's streaming pair sink and IvfIndex's append
+ * previously hand-wrote the same protocol and had already diverged.
+ */
+private[graft] object BatchCommit {
+
+  def committedPath(base: String, batchId: Long) = new Path(base, s"batch=$batchId")
+
+  /** Runs `write(stagingPath)` and commits iff `batch=<id>` is absent;
+    * returns false (writing nothing) when the batch already committed. */
+  def commit(spark: SparkSession, base: String, batchId: Long)
+      (write: Path => Unit): Boolean = {
+    val committed = committedPath(base, batchId)
+    val fs = committed.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(committed)) return false
+    val staging = new Path(base, s".staging/$batchId")
+    write(staging)
+    fs.mkdirs(committed.getParent)
+    if (!fs.rename(staging, committed))
+      throw new java.io.IOException(s"could not commit batch $batchId under $base")
+    true
+  }
+}

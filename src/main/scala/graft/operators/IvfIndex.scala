@@ -74,47 +74,63 @@ object IvfIndex {
         element_at(gf.ivf_probes(col("vec"), cents, 1), 1).as("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
     writeCentroids(spark, s"$dir/centroids.txt", cents)
-    Tombstones.clear(spark, dir) // fresh lists carry no retirees...
-    new Path(dir, "incoming").getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(new Path(dir, "incoming"), true) // ...and no stale append batches
+    // a fresh build resets the whole lifecycle state: no retirees, no
+    // append batches, no compacted list versions, manifest back to v0
+    Tombstones.clear(spark, dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dir, "incoming"), true)
+    if (fs.exists(new Path(dir))) fs.listStatus(new Path(dir)).map(_.getPath)
+      .filter(q => q.getName.startsWith("lists_v"))
+      .foreach(q => fs.delete(q, true))
+    writeManifest(spark, dir, "lists", Set.empty)
     cents
   }
 
   /** Append a batch of new vectors to the index at rest WITHOUT
     * re-clustering: assign each vector to its list under the PERSISTED
-    * quantizer and commit the batch to `incoming/batch=<batchId>` via a
-    * staging-dir + atomic rename (the streamDedup sink pattern) — a
-    * replayed batch whose dir already committed writes nothing, so appends
-    * are exactly-once and a torn write is invisible (staging only).
-    * [[query]] unions committed incoming batches with the main lists;
-    * [[compact]] folds them in. Quantizer drift across many appends is the
-    * signal to [[rebuild]] (the skew soak measures that failure mode). */
+    * quantizer and commit the batch to `incoming/batch=<batchId>` via the
+    * shared staging + atomic-rename protocol ([[BatchCommit]]) — a replayed
+    * batch writes nothing, and the manifest's folded-batch ledger keeps the
+    * guarantee across [[compact]] (a replay of an already-folded batchId is
+    * also a no-op; ledger entries are ~8 bytes per batch, kept for the
+    * index's life). [[query]] unions live (unfolded) batches with the
+    * current lists. Batch tids must be NEW: appending a tombstoned tid
+    * throws, because a tombstone suppresses every row of its tid and the
+    * next compact would destroy the new row while clearing the tombstone —
+    * re-ingest is retire(old) -> compact() -> append(new). Quantizer drift
+    * across many appends is the signal to [[rebuild]] (the skew soak
+    * measures that failure mode). */
   def append(spark: SparkSession, dir: String, vectors: DataFrame,
       batchId: Long): Unit = {
-    val committed = new Path(dir, s"incoming/batch=$batchId")
-    val fs = committed.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(committed)) return
+    val (_, folded) = readManifest(spark, dir)
+    if (folded.contains(batchId)) return
+    if (Tombstones.resolve(spark, dir).isDefined) {
+      val clash = Tombstones.read(spark, dir)
+        .join(vectors.select(col("tid").cast("long").as("id")), Seq("id"), "left_semi")
+        .count()
+      require(clash == 0,
+        s"append batch $batchId contains $clash retired tid(s); " +
+          "re-ingest is retire(old) -> compact() -> append(new)")
+    }
     val cents = readCentroids(spark, s"$dir/centroids.txt")
-    val staging = new Path(dir, s"incoming/.staging/$batchId")
-    vectors.select(col("tid"), gf.vec_quantize(col("vec")).as("q_t"),
-        element_at(gf.ivf_probes(col("vec"), cents, 1), 1).as("cid"))
-      .write.mode("overwrite").parquet(staging.toString)
-    fs.mkdirs(committed.getParent)
-    if (!fs.rename(staging, committed))
-      throw new java.io.IOException(s"could not commit IVF append batch $batchId")
+    BatchCommit.commit(spark, s"$dir/incoming", batchId) { staging =>
+      vectors.select(col("tid"), gf.vec_quantize(col("vec")).as("q_t"),
+          element_at(gf.ivf_probes(col("vec"), cents, 1), 1).as("cid"))
+        .write.mode("overwrite").parquet(staging.toString)
+    }
   }
 
-  /** All committed incoming batches (explicit schema; the hidden `.staging`
-    * dir is excluded by the file index's dot-prefix filter). Empty DF when
-    * none exist. */
-  private def incoming(spark: SparkSession, dir: String): Option[DataFrame] = {
+  /** Committed batch dirs NOT yet folded into the current lists. */
+  private def liveBatches(spark: SparkSession, dir: String,
+      folded: Set[Long]): Seq[(Long, Path)] = {
     val p = new Path(dir, "incoming")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val has = fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
-    if (has)
-      Some(spark.read.schema(listSchema).parquet(s"$dir/incoming")
-        .select(col("tid"), col("q_t"), col("cid")))
-    else None
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+      .map(q => (q.getName.stripPrefix("batch=").toLong, q))
+      .filterNot { case (id, _) => folded.contains(id) }
+      .sortBy(_._1)
   }
 
   /** Retire vectors from the index (takedown / superseded embeddings):
@@ -125,40 +141,60 @@ object IvfIndex {
   def retire(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit =
     Tombstones.retire(spark, dir, ids, idCol)
 
-  /** Fold committed incoming batches into the cid-partitioned lists and
-    * drop tombstoned vectors, then clear both. The centroids are untouched
-    * (compaction reclaims storage and restores full partition pruning;
-    * re-clustering is [[rebuild]]'s job). Crash-safe via the marker
-    * protocol: staged copy first, marker dropped only for the swap window,
-    * torn states heal through ensure()'s rebuild. No-op when there is
+  /** Fold live append batches into a NEW cid-partitioned lists version and
+    * drop tombstoned vectors. The single commit point is the manifest swap
+    * (`CURRENT` names the lists version AND the folded-batch ledger), so
+    * the index is CONSISTENT at every instant: before the swap queries
+    * serve old lists + live batches; after it, the new lists — never
+    * duplicates, never a gap, and no availability window (the `_BUILT`
+    * marker is untouched). Everything after the swap is invisible cleanup,
+    * retried opportunistically by the next compact if it fails. Centroids
+    * are untouched (compaction reclaims storage and restores full partition
+    * pruning; re-clustering is [[rebuild]]'s job). No-op when there is
     * nothing to fold or drop.
     *
     * Replacing a vector (re-ingest) is retire(old) -> compact() ->
     * append(new): a tombstone suppresses EVERY row of its tid, and unlike
     * [[MinhashIndex.append]] (whose max_by verification makes automatic
     * un-retire safe) IVF query results have no newest-row resolution, so
-    * the old row must be physically gone before the new one lands. */
+    * the old row must be physically gone before the new one lands
+    * ([[append]] enforces this by refusing tombstoned tids). */
   def compact(spark: SparkSession, dir: String): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val inc = incoming(spark, dir)
+    val (listsName, folded) = readManifest(spark, dir)
+    // opportunistic cleanup of a prior compact's invisible leftovers
+    fs.listStatus(new Path(dir)).map(_.getPath)
+      .filter(q => (q.getName == "lists" || q.getName.startsWith("lists_v")) &&
+        q.getName != listsName)
+      .foreach(q => fs.delete(q, true))
+    liveBatches(spark, dir, Set.empty)
+      .filter { case (id, _) => folded.contains(id) }
+      .foreach { case (_, q) => fs.delete(q, true) }
+    val live = liveBatches(spark, dir, folded)
     val hasTombs = Tombstones.resolve(spark, dir).isDefined
-    if (inc.isEmpty && !hasTombs) return
-    val base = spark.read.schema(listSchema).parquet(s"$dir/lists")
-    val all = inc.map(base.unionByName(_)).getOrElse(base)
+    if (live.isEmpty && !hasTombs) return
+    val base = spark.read.schema(listSchema).parquet(s"$dir/$listsName")
+    val all =
+      if (live.isEmpty) base
+      else base.unionByName(
+        spark.read.schema(listSchema).parquet(live.map(_._2.toString): _*)
+          .select(col("tid"), col("q_t"), col("cid")))
     val kept =
       if (hasTombs)
         all.join(Tombstones.read(spark, dir).select(col("id").as("tid")), Seq("tid"), "left_anti")
       else all
-    val staged = new Path(dir, ".compact_lists")
-    kept.write.mode("overwrite").partitionBy("cid").parquet(staged.toString)
-    StoreMarker.invalidate(spark, dir)
-    val lists = new Path(dir, "lists")
-    fs.delete(lists, true)
-    if (!fs.rename(staged, lists))
-      throw new java.io.IOException(s"compact: could not swap $staged -> $lists")
-    fs.delete(new Path(dir, "incoming"), true)
+    val nextName =
+      if (listsName == "lists") "lists_v1"
+      else s"lists_v${listsName.stripPrefix("lists_v").toLong + 1}"
+    fs.delete(new Path(dir, nextName), true) // garbage from a crashed attempt
+    kept.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/$nextName")
+    // THE commit point: one atomic pointer flip publishes the new lists and
+    // retires the folded batches from visibility and replay in one step
+    writeManifest(spark, dir, nextName, folded ++ live.map(_._1))
+    // invisible cleanup from here on
+    fs.delete(new Path(dir, listsName), true)
+    live.foreach { case (_, q) => fs.delete(q, true) }
     Tombstones.clear(spark, dir)
-    StoreMarker.commit(spark, dir)
   }
 
   /** Re-cluster + rewrite an existing index IN PLACE from the current
@@ -170,6 +206,13 @@ object IvfIndex {
     * the next ensure() rather than served. */
   def rebuild(spark: SparkSession, dir: String, corpus: DataFrame,
       kCentroids: Int = 16, kmeansIters: Int = 1): Array[Array[Float]] = {
+    // refuse to silently discard unfolded append batches: rebuild rewrites
+    // the lists from `corpus` alone, so appended vectors survive only if
+    // the caller folded them (compact) AND included them in the corpus
+    val (_, folded) = readManifest(spark, dir)
+    require(liveBatches(spark, dir, folded).isEmpty,
+      "unfolded append batches present: compact() before rebuild, and " +
+        "include the appended vectors in the rebuild corpus")
     val cents = build(corpus, dir, kCentroids, kmeansIters)
     StoreMarker.commit(spark, dir)
     cents
@@ -191,9 +234,14 @@ object IvfIndex {
     // committed incoming batches union in (same cid predicate — their
     // files aren't cid-partitioned, so it is a filter rather than pruning,
     // bounded by compact() folding them into the main lists)
-    val base = cidIn(spark.read.schema(listSchema).parquet(s"$dir/lists"))
-    val withIncoming = incoming(spark, dir).map(inc => base.unionByName(cidIn(inc)))
-      .getOrElse(base)
+    val (listsName, folded) = readManifest(spark, dir)
+    val base = cidIn(spark.read.schema(listSchema).parquet(s"$dir/$listsName"))
+    val live = liveBatches(spark, dir, folded)
+    val withIncoming =
+      if (live.isEmpty) base
+      else base.unionByName(cidIn(
+        spark.read.schema(listSchema).parquet(live.map(_._2.toString): _*)
+          .select(col("tid"), col("q_t"), col("cid"))))
     // retired vectors are anti-joined out AFTER partition pruning (the
     // tombstone set is small — AQE broadcasts it; lifecycle-free reads keep
     // the exact original pruned plan)
@@ -204,8 +252,53 @@ object IvfIndex {
 
   /** The pruned scan for plan assertions (same predicate as `query`). */
   def prunedScan(spark: SparkSession, dir: String, cids: Seq[Int]): DataFrame =
-    spark.read.schema(listSchema).parquet(s"$dir/lists")
+    spark.read.schema(listSchema).parquet(s"$dir/${readManifest(spark, dir)._1}")
       .where(col("cid").isin(cids.map(Integer.valueOf): _*))
+
+  // ---------------------------------------------------------- the manifest
+
+  /** `CURRENT` manifest: line 1 = active lists dir name, line 2 =
+    * comma-separated folded batch ids. Written via tmp + checked rename;
+    * a torn swap (CURRENT missing, tmp complete) heals on the next read.
+    * Absent entirely = the v0 layout ("lists", nothing folded) — which is
+    * also what legacy pre-manifest indexes read as. */
+  private def readManifest(spark: SparkSession, dir: String): (String, Set[Long]) = {
+    val cur = new Path(dir, "CURRENT")
+    val tmp = new Path(dir, ".CURRENT.tmp")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cur) && fs.exists(tmp)) {
+      if (!fs.rename(tmp, cur))
+        throw new java.io.IOException(s"manifest heal: could not restore $tmp")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    if (!fs.exists(cur)) ("lists", Set.empty)
+    else {
+      val in = fs.open(cur)
+      val body = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+        new String(bos.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+      val lines = body.split("\n", -1)
+      val folded = lines.lift(1).map(_.trim).filter(_.nonEmpty)
+        .map(_.split(",").map(_.toLong).toSet).getOrElse(Set.empty[Long])
+      (lines(0).trim, folded)
+    }
+  }
+
+  private def writeManifest(spark: SparkSession, dir: String,
+      listsName: String, folded: Set[Long]): Unit = {
+    val cur = new Path(dir, "CURRENT")
+    val tmp = new Path(dir, ".CURRENT.tmp")
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(s"$listsName\n${folded.toSeq.sorted.mkString(",")}"
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(cur)) fs.delete(cur, false)
+    if (!fs.rename(tmp, cur))
+      throw new java.io.IOException(s"could not commit manifest in $dir")
+  }
 
   // --------------------------------------------------------- centroid files
 

@@ -331,15 +331,11 @@ object MinhashIndex {
       batch: DataFrame, batchId: Long, idCol: String, textCol: String,
       pairsOut: String, tau: Double, maxBandSize: Int): Unit = {
     if (batch.isEmpty) return
-    val committed = new Path(pairsOut, s"batch=$batchId")
-    val fs = committed.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(committed)) {
-      val staging = new Path(pairsOut, s".staging/$batchId")
+    // shared exactly-once batch sink (BatchCommit): pairs commit by atomic
+    // rename; a replayed batch skips straight to the idempotent append
+    BatchCommit.commit(spark, pairsOut, batchId) { staging =>
       queryNew(spark, dir, batch, idCol, textCol, tau, maxBandSize)
         .write.mode("overwrite").parquet(staging.toString)
-      fs.mkdirs(committed.getParent)
-      if (!fs.rename(staging, committed))
-        throw new java.io.IOException(s"could not commit pair batch $batchId")
     }
     append(spark, dir, batch, idCol, textCol)
   }

@@ -228,14 +228,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     IvfIndex.append(spark, dir, newC, batchId = 1L)
     assert(topk == after)
     assert(spark.read.parquet(s"$dir/incoming").count() == newC.count())
-    // compact folds incoming into the cid-partitioned lists; answers stable
+    // compact folds incoming into a NEW cid-partitioned lists version via
+    // the manifest flip; answers stable
     IvfIndex.compact(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "incoming")))
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_BUILT")))
     assert(topk == after)
-    assert(spark.read.parquet(s"$dir/lists").count() == all.count())
+    assert(spark.read.parquet(s"$dir/lists_v1").count() == all.count())
+    // exactly-once SURVIVES compaction: replaying the folded batch must
+    // write nothing (the manifest's folded-batch ledger suppresses it) —
+    // without the ledger the replay would re-commit and every vector in
+    // the batch would rank twice
+    IvfIndex.append(spark, dir, newC, batchId = 1L)
+    assert(topk == after)
+    val dup = IvfIndex.query(spark, dir, queries, k = 3, nProbe = 4)
+      .groupBy($"qid", $"tid").count().where($"count" > 1).count()
+    assert(dup == 0, "replay after compact duplicated vectors")
+    // appending a tombstoned tid is refused (the next compact would
+    // destroy the new row while clearing the tombstone)
+    val victim = all.limit(1).collect()(0).getLong(0)
+    IvfIndex.retire(spark, dir, Seq(victim).toDF("tid"), "tid")
+    intercept[IllegalArgumentException] {
+      IvfIndex.append(spark, dir, all.where($"tid" === victim), batchId = 2L)
+    }
+    // rebuild refuses while unfolded batches exist
+    IvfIndex.append(spark, dir, all.where($"tid" === victim + 1), batchId = 3L)
+    intercept[IllegalArgumentException] {
+      IvfIndex.rebuild(spark, dir, oldC, kCentroids = 4, kmeansIters = 0)
+    }
+    IvfIndex.compact(spark, dir)
+    IvfIndex.rebuild(spark, dir, oldC, kCentroids = 4, kmeansIters = 0)
   }
 
   test("IvfIndex retire/compact: tombstoned vectors leave results now, storage at compaction") {
@@ -256,18 +279,29 @@ class PipelineOpsSpec extends AnyFunSuite {
 
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    def listBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(dir, "lists")).getLength
+    // the ACTIVE lists dir is named by the CURRENT manifest (compaction
+    // writes a new version and flips the pointer)
+    def activeLists = {
+      val cur = new org.apache.hadoop.fs.Path(dir, "CURRENT")
+      if (!fs.exists(cur)) "lists"
+      else {
+        val in = fs.open(cur)
+        try scala.io.Source.fromInputStream(in).getLines().next().trim
+        finally in.close()
+      }
+    }
+    def listBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(dir, activeLists)).getLength
     val before = listBytes
     val preCompact = after.collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
     IvfIndex.compact(spark, dir)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "tombstones")))
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_BUILT")))
-    assert(listBytes < before)
+    assert(activeLists == "lists_v1" && listBytes < before)
     // compacted answers == tombstone-filtered answers, and the victim's
     // rows are physically gone
     val post = IvfIndex.query(spark, dir, queries, k = 3, nProbe = 4)
     assert(post.collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap == preCompact)
-    assert(spark.read.parquet(s"$dir/lists").where($"tid" === victim).count() == 0)
+    assert(spark.read.parquet(s"$dir/$activeLists").where($"tid" === victim).count() == 0)
   }
 
   test("IvfIndex: a rebuild attempt over a bad corpus must not invalidate the existing index") {
