@@ -61,6 +61,13 @@ object IvfIndex {
   def build(corpus: DataFrame, dir: String, kCentroids: Int = 64,
       kmeansIters: Int = 1): Array[Array[Float]] = {
     val spark = corpus.sparkSession
+    // refuse to silently discard unfolded append batches (build rewrites
+    // the lists from `corpus` alone and clears incoming/): guard HERE, at
+    // the call that actually destroys them, so the public build() cannot
+    // bypass rebuild()'s protection
+    require(liveBatches(spark, dir, readManifest(spark, dir)._2).isEmpty,
+      "unfolded append batches present: compact() before rebuilding, and " +
+        "include the appended vectors in the rebuild corpus")
     // ALL read-only work (sampling, validation, Lloyd refinement) runs
     // BEFORE the marker drop: a rebuild attempt over an empty/bad corpus
     // must fail without invalidating the perfectly good existing index
@@ -104,6 +111,13 @@ object IvfIndex {
       batchId: Long): Unit = {
     val (_, folded) = readManifest(spark, dir)
     if (folded.contains(batchId)) return
+    // committed-dir check BEFORE any validation: a replay of a durably
+    // committed batch must be an unconditional no-op — if one of its tids
+    // was retired after the commit, the tombstone-clash require below
+    // would otherwise poison every retry of an already-ingested batch
+    val committed = BatchCommit.committedPath(s"$dir/incoming", batchId)
+    if (committed.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(committed)) return
     if (Tombstones.resolve(spark, dir).isDefined) {
       val clash = Tombstones.read(spark, dir)
         .join(vectors.select(col("tid").cast("long").as("id")), Seq("id"), "left_semi")
@@ -161,8 +175,13 @@ object IvfIndex {
     * ([[append]] enforces this by refusing tombstoned tids). */
   def compact(spark: SparkSession, dir: String): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir))) return // nothing to compact (old contract)
     val (listsName, folded) = readManifest(spark, dir)
-    // opportunistic cleanup of a prior compact's invisible leftovers
+    // opportunistic cleanup of the PREVIOUS compact's now-invisible
+    // leftovers (old list versions, folded batch dirs). Deleting them here
+    // — one compaction cycle later — rather than right after the flip
+    // gives in-flight readers that resolved the pre-flip manifest a grace
+    // period to finish against the old dirs.
     fs.listStatus(new Path(dir)).map(_.getPath)
       .filter(q => (q.getName == "lists" || q.getName.startsWith("lists_v")) &&
         q.getName != listsName)
@@ -189,11 +208,11 @@ object IvfIndex {
     fs.delete(new Path(dir, nextName), true) // garbage from a crashed attempt
     kept.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/$nextName")
     // THE commit point: one atomic pointer flip publishes the new lists and
-    // retires the folded batches from visibility and replay in one step
+    // retires the folded batches from visibility and replay in one step.
+    // The old lists version and the folded batch dirs are NOT deleted now —
+    // in-flight readers may still be executing plans against them; the
+    // next compact reclaims them (grace-period cleanup above).
     writeManifest(spark, dir, nextName, folded ++ live.map(_._1))
-    // invisible cleanup from here on
-    fs.delete(new Path(dir, listsName), true)
-    live.foreach { case (_, q) => fs.delete(q, true) }
     Tombstones.clear(spark, dir)
   }
 
@@ -206,13 +225,8 @@ object IvfIndex {
     * the next ensure() rather than served. */
   def rebuild(spark: SparkSession, dir: String, corpus: DataFrame,
       kCentroids: Int = 16, kmeansIters: Int = 1): Array[Array[Float]] = {
-    // refuse to silently discard unfolded append batches: rebuild rewrites
-    // the lists from `corpus` alone, so appended vectors survive only if
-    // the caller folded them (compact) AND included them in the corpus
-    val (_, folded) = readManifest(spark, dir)
-    require(liveBatches(spark, dir, folded).isEmpty,
-      "unfolded append batches present: compact() before rebuild, and " +
-        "include the appended vectors in the rebuild corpus")
+    // (the unfolded-append-batch refusal lives in build(), the call that
+    // actually destroys them — guarding only here would be bypassable)
     val cents = build(corpus, dir, kCentroids, kmeansIters)
     StoreMarker.commit(spark, dir)
     cents
@@ -266,11 +280,15 @@ object IvfIndex {
     val cur = new Path(dir, "CURRENT")
     val tmp = new Path(dir, ".CURRENT.tmp")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal ONLY the torn-swap state (CURRENT missing, complete tmp
+    // present). Readers never delete a tmp while CURRENT exists — that
+    // would race a writer between its tmp write and its swap, and the
+    // writer then deleting CURRENT with its tmp gone would erase BOTH
+    // copies (ledger reset = the duplicate-replay bug all over again).
     if (!fs.exists(cur) && fs.exists(tmp)) {
-      if (!fs.rename(tmp, cur))
+      if (!fs.rename(tmp, cur) && !fs.exists(cur))
         throw new java.io.IOException(s"manifest heal: could not restore $tmp")
     }
-    if (fs.exists(tmp)) fs.delete(tmp, false)
     if (!fs.exists(cur)) ("lists", Set.empty)
     else {
       val in = fs.open(cur)
@@ -291,13 +309,27 @@ object IvfIndex {
     val cur = new Path(dir, "CURRENT")
     val tmp = new Path(dir, ".CURRENT.tmp")
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val body = s"$listsName\n${folded.toSeq.sorted.mkString(",")}"
     val out = fs.create(tmp, true)
-    try out.write(s"$listsName\n${folded.toSeq.sorted.mkString(",")}"
-      .getBytes(StandardCharsets.UTF_8))
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (fs.exists(cur)) fs.delete(cur, false)
-    if (!fs.rename(tmp, cur))
-      throw new java.io.IOException(s"could not commit manifest in $dir")
+    if (!fs.rename(tmp, cur)) {
+      // a concurrent reader may have healed our tmp into place between the
+      // delete and the rename; that IS our intended content, so verify
+      // rather than fail
+      val healed = fs.exists(cur) && {
+        val in = fs.open(cur)
+        val got = try {
+          val bos = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+          new String(bos.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
+        got == body
+      }
+      if (!healed)
+        throw new java.io.IOException(s"could not commit manifest in $dir")
+    }
   }
 
   // --------------------------------------------------------- centroid files
