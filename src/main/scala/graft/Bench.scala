@@ -53,7 +53,13 @@ object Bench {
       if (!full) base
       else {
         // order-independent checksum of the multi-resolution encode: the
-        // one row that keeps the encode alive through column pruning
+        // one row that keeps the encode alive through column pruning.
+        // NOTE this branch re-runs anchor extraction + geocode (the three
+        // union branches share no persist — recompute beats per-rep
+        // block-manager churn at bench scale), so "full" pays a THIRD
+        // anchor pass on top of the muni join and the encode itself —
+        // stated here and in BENCH.md so the full-vs-north delta is read
+        // as (muni + encode + one extra extraction), not encode alone.
         val cells = anchorSrc.select(
             gf.grid_cell(col("lat"), col("lon"), 8).as("c8"),
             gf.grid_cell(col("lat"), col("lon"), 9).as("c9"),
@@ -161,7 +167,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${Jsons.str(k)}:${Jsons.str(v)}" }.mkString("{", ",", "}")
     val buildJson = builds.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"build_sec":$buildJson,"sf":"$sfDir","headline_docs":$nDocs,"headline_sec":$headlineSec%.3f,"docs_per_sec":$docsPerSec%.0f,"north_docs_per_sec":$northPerSec%.0f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"build_sec":$buildJson,"sf":${Jsons.str(sfDir)},"headline_docs":$nDocs,"headline_sec":$headlineSec%.3f,"docs_per_sec":$docsPerSec%.0f,"north_docs_per_sec":$northPerSec%.0f}"""
     println(line)
     // machine-readable copy: sbt wraps stdout in [info] noise, so the driver's
     // JSON parse of the captured output can fail ("parsed": null in

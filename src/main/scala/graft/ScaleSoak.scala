@@ -142,11 +142,16 @@ object ScaleSoak {
       graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
         tau = 0.5, maxBandSize = 100).count()
     }
-    assertPlanted(stats("minhash_lsh_capped") >= expectedEditPairs &&
-      stats("minhash_lsh_capped") <= expectedEditPairs + 600L * 599L / 20L,
-      s"capped minhash: got ${stats("minhash_lsh_capped")}, want " +
-        s"[$expectedEditPairs, ${expectedEditPairs + 600L * 599L / 20L}] " +
-        "(edit pairs + <=5% clique residue)")
+    // the residue band (5% of clique pairs = 8985; measured ~3.7k) is
+    // calibrated for the (5, 96, 16) auto-plan regime — corpora small
+    // enough to select the 3-gram plan shingle differently, so the band
+    // applies only above that plan's threshold
+    val cappedCeil = expectedEditPairs + 600L * 599L / 40L
+    if (nDocs > 30000L)
+      assertPlanted(stats("minhash_lsh_capped") >= expectedEditPairs &&
+        stats("minhash_lsh_capped") <= cappedCeil,
+        s"capped minhash: got ${stats("minhash_lsh_capped")}, want " +
+          s"[$expectedEditPairs, $cappedCeil] (edit pairs + <=5% clique residue)")
     // pair -> group consolidation: the 600-doc clique must collapse to ONE
     // group with 599 drops, edit pairs to 2-member groups; large/small-star
     // must converge (componentsWithStats throws if it loops). The assignment
