@@ -360,6 +360,7 @@ object SparkEntry {
       try {
         val exactIds = exactP.select(col("id_a"), col("id_b"))
         val high = exactP.where(col("jac") >= 0.9).select(col("id_a"), col("id_b"))
+        PlanCapture.dump("q_minhash_near_dups_stats", found.exceptAll(exactIds))
         // precision invariant: every LSH pair passes the same exact-Jaccard
         // bar (n_extra = 0); recall invariant: the >=0.9 tier is certainly
         // banded at r=4/b=16 (miss prob ~1e-15 per pair)
@@ -393,6 +394,7 @@ object SparkEntry {
         .where(gf.hamming64(col("sh_a"), col("sh_b")) <= 3)
         .select(col("id_a"), col("id_b")).cache()
       try {
+        PlanCapture.dump("q_simhash_near_dups_stats", found.exceptAll(brute))
         val symDiff = found.exceptAll(brute).count() + brute.exceptAll(found).count()
         Seq((docsAll.count(), brute.count() > 0, symDiff))
           .toDF("n_docs", "has_pairs", "sym_diff")
@@ -424,6 +426,8 @@ object SparkEntry {
       try {
         val exactIds = exact.select(col("id_a"), col("id_b"))
         val high = exact.where(col("cos") >= 0.99).select(col("id_a"), col("id_b"))
+        PlanCapture.dump("q_embedding_near_dups_stats", found.exceptAll(exactIds))
+        PlanCapture.dump("q_embedding_near_dups_exact", exact)
         Seq((exactIds.count(), found.exceptAll(exactIds).count(),
           high.count(), high.exceptAll(found).count()))
           .toDF("n_exact", "n_extra", "n_high", "n_high_missed")
@@ -518,6 +522,7 @@ object SparkEntry {
           .select(col("id_a"), col("id_b")))
         .cache()
       try {
+        PlanCapture.dump("q_incremental_dedup_stats", incr.exceptAll(exactNew))
         Seq((newB.count(), exactNew.count(),
           incr.exceptAll(exactNew).count(),
           incr.exceptAll(full).count() + full.exceptAll(incr).count()))
@@ -569,6 +574,12 @@ object SparkEntry {
       val ivf = graft.operators.Similarity.ivfTopKWith(queries, corpus, k = 3,
         cents, nProbe = 8).cache()
       try {
+        PlanCapture.dump("q_ann_recall_stats", brute.select(col("qid"), col("tid"))
+          .join(
+            ann.select(col("qid"), col("tid")).withColumn("m", lit("ann"))
+              .unionByName(ivf.select(col("qid"), col("tid")).withColumn("m", lit("ivf"))),
+            Seq("qid", "tid"))
+          .groupBy("m").count())
         val nExact = brute.count()
         val nAnn = ann.count()
         val hits = brute.select(col("qid"), col("tid"))
@@ -647,6 +658,7 @@ object SparkEntry {
       try {
         val a = persisted.select("qid", "tid", "rn")
         val b = mem.select("qid", "tid", "rn")
+        PlanCapture.dump("q_ivf_index_parity_stats", a.exceptAll(b))
         val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
         Seq((persisted.count(), mem.count(), diff))
           .toDF("n_persisted", "n_memory", "n_diff")

@@ -25,8 +25,19 @@ private[graft] object BatchCommit {
     val staging = new Path(base, s".staging/$batchId")
     write(staging)
     fs.mkdirs(committed.getParent)
-    if (!fs.rename(staging, committed))
+    // check-then-act race (round-5 ADVICE #4): a concurrent caller with the
+    // same batchId may have committed between the exists() check above and
+    // this rename. The batch IS durably committed — success for an
+    // idempotent sink, not an error. Two guards because rename-onto-existing
+    // semantics differ by store: HDFS/object stores FAIL the rename (the
+    // post-rename check), while a posix local FS would move the staging dir
+    // INSIDE the winner's commit (the pre-rename check catches the loser
+    // before it can nest garbage there).
+    if (fs.exists(committed)) { fs.delete(staging, true); return false }
+    if (!fs.rename(staging, committed)) {
+      if (fs.exists(committed)) { fs.delete(staging, true); return false }
       throw new java.io.IOException(s"could not commit batch $batchId under $base")
+    }
     true
   }
 }

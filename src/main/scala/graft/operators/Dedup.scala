@@ -264,8 +264,9 @@ object Dedup {
    * (pair it with [[ngramJaccardPairs]] over the batch alone for the
    * batch-internal pairs). Pairs are emitted once, normalized to
    * id_a < id_b. `left` and `right` must be id-disjoint: an id on both
-   * sides would double-count every common shingle (require()d via the
-   * caller's contract, not a runtime scan — checking would cost a join).
+   * sides silently double-counts every common shingle and emits wrong
+   * jaccard values. This is an UNCHECKED precondition — verifying it would
+   * cost a join per call (round-5 ADVICE #3 wording fix).
    */
   def ngramJaccardPairsBetween(left: DataFrame, right: DataFrame,
       idCol: String, textCol: String, n: Int = 3, tau: Double = 0.5): DataFrame = {

@@ -99,8 +99,11 @@ object IvfIndex {
     * shared staging + atomic-rename protocol ([[BatchCommit]]) — a replayed
     * batch writes nothing, and the manifest's folded-batch ledger keeps the
     * guarantee across [[compact]] (a replay of an already-folded batchId is
-    * also a no-op; ledger entries are ~8 bytes per batch, kept for the
-    * index's life). [[query]] unions live (unfolded) batches with the
+    * also a no-op; ledger entries are ~8 bytes per batch, kept until the
+    * next [[build]]/[[rebuild]] — a rebuild RESETS the ledger along with
+    * the rest of the lifecycle state, so the batchId namespace restarts
+    * and callers must not replay pre-rebuild batch ids into the rebuilt
+    * index). [[query]] unions live (unfolded) batches with the
     * current lists. Batch tids must be NEW: appending a tombstoned tid
     * throws, because a tombstone suppresses every row of its tid and the
     * next compact would destroy the new row while clearing the tombstone —
@@ -190,18 +193,22 @@ object IvfIndex {
       .filter { case (id, _) => folded.contains(id) }
       .foreach { case (_, q) => fs.delete(q, true) }
     val live = liveBatches(spark, dir, folded)
-    val hasTombs = Tombstones.resolve(spark, dir).isDefined
-    if (live.isEmpty && !hasTombs) return
+    // PINNED tombstone snapshot (Tombstones.snapshot): ids retired
+    // concurrently during this compact are not applied to the rewrite, so
+    // the final step must not clear them — only the snapshot's ids are
+    // removed (round-5 ADVICE #1; same fix as MinhashIndex.compact)
+    val snap = Tombstones.snapshot(spark, dir)
+    if (live.isEmpty && snap.isEmpty) return
     val base = spark.read.schema(listSchema).parquet(s"$dir/$listsName")
     val all =
       if (live.isEmpty) base
       else base.unionByName(
         spark.read.schema(listSchema).parquet(live.map(_._2.toString): _*)
           .select(col("tid"), col("q_t"), col("cid")))
-    val kept =
-      if (hasTombs)
-        all.join(Tombstones.read(spark, dir).select(col("id").as("tid")), Seq("tid"), "left_anti")
-      else all
+    val kept = snap match {
+      case Some(t) => all.join(t.select(col("id").as("tid")), Seq("tid"), "left_anti")
+      case None => all
+    }
     val nextName =
       if (listsName == "lists") "lists_v1"
       else s"lists_v${listsName.stripPrefix("lists_v").toLong + 1}"
@@ -213,7 +220,10 @@ object IvfIndex {
     // in-flight readers may still be executing plans against them; the
     // next compact reclaims them (grace-period cleanup above).
     writeManifest(spark, dir, nextName, folded ++ live.map(_._1))
-    Tombstones.clear(spark, dir)
+    // remove only the APPLIED (snapshotted) ids; a retire that landed after
+    // the snapshot stays pending — its rows may be in the new lists, and the
+    // live tombstone keeps suppressing them until the next compact applies it
+    snap.foreach(t => Tombstones.unretire(spark, dir, t, "id"))
   }
 
   /** Re-cluster + rewrite an existing index IN PLACE from the current

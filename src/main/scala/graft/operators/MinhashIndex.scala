@@ -115,22 +115,35 @@ object MinhashIndex {
   def retire(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit =
     Tombstones.retire(spark, dir, ids, idCol)
 
-  /** Rewrite bands/shingles minus tombstoned ids, then clear the tombstones
-    * — the storage-reclaim half of the retire lifecycle. Crash-safe via the
-    * marker protocol: the compacted copy is written to a staging dir FIRST,
-    * the `_BUILT` marker is dropped only for the swap window, and a crash
+  /** Rewrite bands/shingles minus tombstoned ids, then remove EXACTLY the
+    * applied ids from the tombstone set — the storage-reclaim half of the
+    * retire lifecycle. The tombstones are read through a PINNED file-list
+    * snapshot ([[Tombstones.snapshot]]): an id retired concurrently while
+    * this compact is rewriting is not in the snapshot, is not applied, and
+    * therefore survives the final unretire to be applied by the next
+    * compact — a blanket clear() here would silently resurrect it
+    * (round-5 ADVICE #1). While rewriting anyway, crash-replay duplicates
+    * are folded out for free: a replayed [[append]] legitimately re-lands
+    * identical band/shingle rows (results stay correct — the candidate
+    * distinct and per-id max_by absorb them) but they cost storage and
+    * every future scan; `distinct`/`dropDuplicates` below remove EXACT
+    * duplicate rows only — a re-ingested id with changed text keeps both
+    * its rows, exactly as append left them. Crash-safe via the marker
+    * protocol: the compacted copy is written to a staging dir FIRST, the
+    * `_BUILT` marker is dropped only for the swap window, and a crash
     * mid-swap leaves no marker so [[ensure]] heals by rebuilding (same
     * torn-write contract as [[build]]). No-op when nothing is tombstoned. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (Tombstones.resolve(spark, dir).isEmpty) return
-    val tombs = Tombstones.read(spark, dir)
+    val tombs = Tombstones.snapshot(spark, dir).getOrElse(return)
     val staged = s"$dir/.compact"
     spark.read.schema(bandSchema).parquet(s"$dir/bands")
       .join(tombs, Seq("id"), "left_anti")
+      .distinct()
       .write.mode("overwrite").parquet(s"$staged/bands")
     spark.read.schema(shingleSchema).parquet(s"$dir/shingles")
       .join(tombs, Seq("id"), "left_anti")
+      .dropDuplicates("id", "sh")
       .write.mode("overwrite").parquet(s"$staged/shingles")
     StoreMarker.invalidate(spark, dir)
     // every rename result is CHECKED: on object stores a rename can fail by
@@ -145,7 +158,10 @@ object MinhashIndex {
     }
     renamed(new Path(staged, "bands"), new Path(dir, "bands"))
     renamed(new Path(staged, "shingles"), new Path(dir, "shingles"))
-    Tombstones.clear(spark, dir)
+    // remove only the snapshot's ids (unretire clears the dir entirely when
+    // nothing else was retired meanwhile — the common case); late
+    // retirements stay pending for the next compact
+    Tombstones.unretire(spark, dir, tombs, "id")
     fs.delete(new Path(staged), true)
     StoreMarker.commit(spark, dir)
   }

@@ -66,6 +66,24 @@ private[graft] object Tombstones {
     if (fs.exists(tomb)) Some(tomb) else None
   }
 
+  /** PINNED snapshot of the current tombstone set: resolves the dir, then
+    * reads exactly the parquet files present at this instant — ids retired
+    * concurrently AFTER the snapshot never appear in it. compact() needs
+    * this pinning: it must remove from the live set only the ids it
+    * actually applied to the rewrite, or a retire landing mid-compact is
+    * silently cleared without ever being applied (round-5 ADVICE #1).
+    * None when the store has no tombstones. */
+  def snapshot(spark: SparkSession, dir: String): Option[DataFrame] =
+    resolve(spark, dir).map { tomb =>
+      val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(tomb).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+    }
+
   /** Anti-join the tombstone set out of `df` (matching on `idCol`) when one
     * exists; the common no-tombstone case keeps the exact original plan
     * (driver-side FS checks only). */

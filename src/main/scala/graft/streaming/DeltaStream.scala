@@ -140,6 +140,7 @@ object DeltaStream {
         .dropDuplicates("change_id")
         .select("change_id", "region", "doc_id", "addr_text", "ts").cache()
       try {
+        graft.PlanCapture.dump("q_stream_batch_parity_stats", stream.exceptAll(batch))
         val diff = stream.exceptAll(batch).count() + batch.exceptAll(stream).count()
         (stream.count(), batch.count(), diff)
       } finally { stream.unpersist(); batch.unpersist() }

@@ -221,6 +221,52 @@ class MinhashIndexSpec extends AnyFunSuite {
     assert(logged.contains((41L, 51L)))
   }
 
+  test("compact folds crash-replay duplicate rows: index size == single-append build, results unchanged") {
+    val old = corpus(1L to 40L)
+    val batch = corpus(41L to 50L)
+    val dir = java.nio.file.Files.createTempDirectory("mh_idx_cd").toString
+    val plan = MinhashIndex.build(old, "doc_id", "text", dir)
+    // crash-replay: the same append lands twice (documented-safe for
+    // results; pre-fix it was permanent storage + scan overhead)
+    MinhashIndex.append(spark, dir, batch, "doc_id", "text")
+    MinhashIndex.append(spark, dir, batch, "doc_id", "text")
+    MinhashIndex.retire(spark, dir, Seq(3L).toDF("doc_id"), "doc_id")
+    val beforeCompact = pairSet(MinhashIndex.queryNew(spark, dir, corpus(Seq(91L)),
+      "doc_id", "text", tau = 0.5))
+    MinhashIndex.compact(spark, dir)
+    // reference: one clean build over the same surviving corpus + batch
+    val refDir = java.nio.file.Files.createTempDirectory("mh_idx_cdr").toString
+    MinhashIndex.build(old.where(col("doc_id") =!= 3L).unionByName(batch),
+      "doc_id", "text", refDir, plan.shingleN, plan.numHashes, plan.bands)
+    def rows(d: String, sub: String): Long = spark.read.parquet(s"$d/$sub").count()
+    assert(rows(dir, "bands") == rows(refDir, "bands"),
+      s"replay-duplicated band rows survived compact: ${rows(dir, "bands")} vs ${rows(refDir, "bands")}")
+    assert(rows(dir, "shingles") == rows(refDir, "shingles"))
+    val afterCompact = pairSet(MinhashIndex.queryNew(spark, dir, corpus(Seq(91L)),
+      "doc_id", "text", tau = 0.5))
+    assert(afterCompact == beforeCompact)
+  }
+
+  test("BatchCommit.commit returns false (not an IOException) when a concurrent caller won the rename") {
+    val base = java.nio.file.Files.createTempDirectory("bc_race").toString + "/log"
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ok = graft.operators.BatchCommit.commit(spark, base, 5L) { staging =>
+      fs.mkdirs(staging)
+      fs.create(new org.apache.hadoop.fs.Path(staging, "part-0")).close()
+      // simulate the concurrent winner committing between our exists()
+      // check and the rename: the committed dir appears, non-empty
+      val committed = graft.operators.BatchCommit.committedPath(base, 5L)
+      fs.mkdirs(committed)
+      fs.create(new org.apache.hadoop.fs.Path(committed, "part-0")).close()
+    }
+    assert(!ok, "lost race must report already-committed, not throw")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base, ".staging/5")),
+      "loser's staging dir should be cleaned up")
+    // the committed batch is intact
+    assert(fs.exists(new org.apache.hadoop.fs.Path(base, "batch=5/part-0")))
+  }
+
   test("append grows the index: a later batch dedups against both earlier ones") {
     val old = corpus(1L to 40L)
     val second = corpus(41L to 60L)
