@@ -531,6 +531,9 @@ object Dedup {
       broadcastBenchMaxBytes: Long = 512L << 20): DataFrame = {
     def shingleExpr =
       s"explode(array_distinct(transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n)))) AS sh"
+    // the .distinct() on the benchmark side is LOAD-BEARING for the
+    // left-outer membership join below: a duplicated benchmark shingle
+    // would multiply matching corpus rows and inflate n_common
     val benchSh = benchmark.select(col(textCol).as("text"))
       .where(length(col("text")) >= n)
       .selectExpr(shingleExpr)
@@ -538,21 +541,31 @@ object Dedup {
     val docSh = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .where(length(col("text")) >= n)
       .selectExpr("id", shingleExpr)
-    val totals = docSh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     // benchmark sets are tiny next to a training corpus, so a broadcast
     // (map-side membership, no shuffle of the exploded corpus shingles) is
     // the expected plan — but MEASURED, not assumed (the round-3 lesson: an
     // operator whose default dies at some input scale is a defect). An
-    // oversized benchmark falls back to a shuffled semi-join.
+    // oversized benchmark falls back to a shuffled join.
     val doBroadcast = broadcastBench.getOrElse {
       val st = benchSh.agg(count(lit(1)), coalesce(sum(length(col("sh")).cast("long")), lit(0L))).head()
       2L * st.getLong(1) + 48L * st.getLong(0) <= broadcastBenchMaxBytes
     }
-    val benchSide = if (doBroadcast) broadcast(benchSh) else benchSh
-    val hits = docSh.join(benchSide, Seq("sh"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("n_common"))
-    totals.join(hits, Seq("id"))
-      .where(col("n_common").cast("double") / col("n_sh").cast("double") >= minOverlap)
+    val benchSide = benchSh.withColumn("hit", lit(1))
+    val marked = docSh.join(
+      if (doBroadcast) broadcast(benchSide) else benchSide, Seq("sh"), "left_outer")
+    // ONE traversal of the exploded corpus shingles and ONE (id) shuffle:
+    // the membership mark rides the broadcast join, and n_sh / n_common
+    // come out of the same partial-aggregating groupBy. The previous shape
+    // traversed docSh twice (totals + semi-join hits), shuffled (id) twice
+    // and joined the two — double the corpus-scan CPU and shuffle for the
+    // same integers (guide §2.3/§2.4). n_common >= 1 is the old inner-join
+    // semantics: docs sharing nothing with the benchmark never appear,
+    // whatever minOverlap is.
+    marked.groupBy("id")
+      .agg(count(lit(1)).as("n_sh"),
+        count(col("hit")).as("n_common"))
+      .where(col("n_common") >= 1 &&
+        col("n_common").cast("double") / col("n_sh").cast("double") >= minOverlap)
       .select(col("id"), col("n_common"), col("n_sh"))
   }
 }

@@ -196,18 +196,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), plan) // fused stage marker
   }
 
-  test("decontamination: benchmark membership is a broadcast semi-join; ratio agg is partial") {
+  test("decontamination: benchmark membership is ONE broadcast join; ratio agg is partial") {
     // the 100 TB shape: the benchmark shingle set broadcasts (it is tiny
-    // next to a training corpus), the exploded corpus shingles NEVER
-    // sort-merge against it, and the per-doc counts partial-aggregate
+    // next to a training corpus), the exploded corpus shingles traverse
+    // ONCE (single left-outer membership mark feeding a single partial
+    // aggregation — r6: previously two traversals, two (id) shuffles and a
+    // totals-vs-hits join for the same integers), and nothing sort-merges
     val docs = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "unrelated words here entirely"))
       .toDF("doc_id", "text")
     val bench = Seq((9L, "alpha beta gamma")).toDF("doc_id", "text")
-    val plan = graft.operators.Dedup.contaminated(docs, bench, "doc_id", "text", n = 4)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    val df = graft.operators.Dedup.contaminated(docs, bench, "doc_id", "text", n = 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan) // partial + final
+    // exactly ONE membership join and ONE grouping of the corpus shingles
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size == 1, s"corpus shingles must traverse one membership join: $joins")
+    val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    assert(aggs.count(_.output.map(_.name).contains("n_sh")) == 1, plan)
   }
 
   test("connected components: every star-round shuffle carries (u, v) id pairs only") {
