@@ -334,7 +334,6 @@ object SparkEntry {
     // so every emitted column is deterministic AND DuckDB-expressible.
 
     "q_minhash_near_dups" -> ((s, dir) => {
-      import s.implicits._
       // % 20 sample: the exact inverted-index verifier is quadratic in the
       // hot-shingle document frequency, and the parity signal (planted-pair
       // recall + zero false positives) does not sharpen with a bigger sample
@@ -351,23 +350,26 @@ object SparkEntry {
       // choice stay auto (each zeroed knob fills independently).
       val found = graft.operators.Dedup
         .minhashLshPairs(docs, "doc_id", "text", shingleN = 3, tau = 0.5)
-        .select(col("id_a"), col("id_b")).cache()
+        .select(col("id_a"), col("id_b"), lit(1).as("f"))
       val exactP = graft.operators.Dedup
         .ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
         .withColumn("jac", col("common").cast("double") /
           (col("n_a") + col("n_b") - col("common")).cast("double"))
-        .cache()
-      try {
-        val exactIds = exactP.select(col("id_a"), col("id_b"))
-        val high = exactP.where(col("jac") >= 0.9).select(col("id_a"), col("id_b"))
-        PlanCapture.dump("q_minhash_near_dups_stats", found.exceptAll(exactIds))
-        // precision invariant: every LSH pair passes the same exact-Jaccard
-        // bar (n_extra = 0); recall invariant: the >=0.9 tier is certainly
-        // banded at r=4/b=16 (miss prob ~1e-15 per pair)
-        Seq((exactIds.count(), found.exceptAll(exactIds).count(),
-          high.count(), high.exceptAll(found).count()))
-          .toDF("n_exact", "n_extra", "n_high", "n_high_missed")
-      } finally { found.unpersist(); exactP.unpersist() }
+        .select(col("id_a"), col("id_b"), col("jac"), lit(1).as("e"))
+      // precision invariant: every LSH pair passes the same exact-Jaccard
+      // bar (n_extra = 0); recall invariant: the >=0.9 tier is certainly
+      // banded at r=4/b=16 (miss prob ~1e-15 per pair). All four counts ride
+      // ONE full-outer join + aggregate (r6): both pair sets are unique on
+      // (id_a, id_b) by construction (candidate distinct / a<b groupBy), so
+      // each multiset exceptAll().count() equals its one-sided join count —
+      // previously 2 caches + 4 count actions recomputed the same sets.
+      val stats = exactP.join(found, Seq("id_a", "id_b"), "full_outer")
+        .agg(count(col("e")).as("n_exact"),
+          count(when(col("f").isNotNull && col("e").isNull, lit(1))).as("n_extra"),
+          count(when(col("jac") >= 0.9, lit(1))).as("n_high"),
+          count(when(col("jac") >= 0.9 && col("f").isNull, lit(1))).as("n_high_missed"))
+      PlanCapture.dump("q_minhash_near_dups_stats", stats)
+      stats
     }),
 
     "q_simhash_near_dups" -> ((s, dir) => {
@@ -382,7 +384,7 @@ object SparkEntry {
         .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
       val found = graft.operators.Dedup
         .simhashPairs(docsAll, "doc_id", "text", maxHamming = 3)
-        .select(col("id_a"), col("id_b")).cache()
+        .select(col("id_a"), col("id_b"), lit(1).as("f"))
       // exact verifier: brute-force all-pairs Hamming over the same
       // signatures — the 4x16-bit banding certifies completeness at
       // hamming <= 3 (pigeonhole), so the symmetric diff is
@@ -392,17 +394,21 @@ object SparkEntry {
         .join(broadcast(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))),
           col("id_a") < col("id_b"))
         .where(gf.hamming64(col("sh_a"), col("sh_b")) <= 3)
-        .select(col("id_a"), col("id_b")).cache()
-      try {
-        PlanCapture.dump("q_simhash_near_dups_stats", found.exceptAll(brute))
-        val symDiff = found.exceptAll(brute).count() + brute.exceptAll(found).count()
-        Seq((docsAll.count(), brute.count() > 0, symDiff))
-          .toDF("n_docs", "has_pairs", "sym_diff")
-      } finally { found.unpersist(); brute.unpersist() }
+        .select(col("id_a"), col("id_b"), lit(1).as("b"))
+      // ONE full-outer join + aggregate for sym-diff and the brute count
+      // (r6; both sides unique on (id_a, id_b), so the two multiset
+      // exceptAll().count() actions equal the one-sided join counts) —
+      // previously 2 caches + 4 count actions.
+      val statsJoin = brute.join(found, Seq("id_a", "id_b"), "full_outer")
+        .agg(count(col("b")).as("n_brute"),
+          count(when(col("b").isNull || col("f").isNull, lit(1))).as("sym_diff"))
+      PlanCapture.dump("q_simhash_near_dups_stats", statsJoin)
+      val r = statsJoin.head()
+      Seq((docsAll.count(), r.getLong(0) > 0, r.getLong(1)))
+        .toDF("n_docs", "has_pairs", "sym_diff")
     }),
 
     "q_embedding_near_dups" -> ((s, dir) => {
-      import s.implicits._
       val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       // planted near-identical vectors: power-of-two jitter computed in
       // double and rounded to float — bit-identical in Spark and DuckDB
@@ -416,22 +422,35 @@ object SparkEntry {
       val emb = base.unionByName(planted)
       val found = graft.operators.Dedup
         .embeddingPairs(emb, "vec_id", "embedding", minCos = 0.8, bands = 8)
-        .select(col("id_a"), col("id_b")).cache()
+        .select(col("id_a"), col("id_b"), lit(1).as("f"))
+      // exact all-pairs verifier with PRECOMPUTED norms (r6): VecAlgos
+      // .cosineQ recomputes both self-dot-products per pair — 3 dot
+      // products per evaluated pair over n^2/2 pairs. The self-dots are
+      // per-VECTOR quantities; hoisting them to the build sides leaves one
+      // dot per pair. The arithmetic below reproduces cosineQ EXACTLY:
+      // dotQ(a,b).toDouble / sqrt(na.toDouble * nb.toDouble) with the
+      // zero-norm guard — same IEEE ops in the same order (oracle-pinned).
       val q = emb.select(col("vec_id"), gf.vec_quantize(col("embedding")).as("q"))
-      val exact = q.select(col("vec_id").as("id_a"), col("q").as("q_a"))
-        .join(broadcast(q.select(col("vec_id").as("id_b"), col("q").as("q_b"))),
+        .withColumn("nq", gf.vec_dot_q(col("q"), col("q")))
+      val exact = q.select(col("vec_id").as("id_a"), col("q").as("q_a"), col("nq").as("na"))
+        .join(broadcast(
+          q.select(col("vec_id").as("id_b"), col("q").as("q_b"), col("nq").as("nb"))),
           col("id_a") < col("id_b"))
-        .withColumn("cos", gf.vec_cos_q(col("q_a"), col("q_b")))
-        .where(col("cos") >= 0.8).cache()
-      try {
-        val exactIds = exact.select(col("id_a"), col("id_b"))
-        val high = exact.where(col("cos") >= 0.99).select(col("id_a"), col("id_b"))
-        PlanCapture.dump("q_embedding_near_dups_stats", found.exceptAll(exactIds))
-        PlanCapture.dump("q_embedding_near_dups_exact", exact)
-        Seq((exactIds.count(), found.exceptAll(exactIds).count(),
-          high.count(), high.exceptAll(found).count()))
-          .toDF("n_exact", "n_extra", "n_high", "n_high_missed")
-      } finally { found.unpersist(); exact.unpersist() }
+        .withColumn("cos", when(col("na") === 0L || col("nb") === 0L, lit(0.0))
+          .otherwise(gf.vec_dot_q(col("q_a"), col("q_b")).cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double"))))
+        .where(col("cos") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("cos"), lit(1).as("e"))
+      PlanCapture.dump("q_embedding_near_dups_exact", exact)
+      // same ONE-pass stats join as q_minhash_near_dups (both sides unique
+      // on (id_a, id_b)); previously 2 caches + 4 count actions
+      val stats = exact.join(found, Seq("id_a", "id_b"), "full_outer")
+        .agg(count(col("e")).as("n_exact"),
+          count(when(col("f").isNotNull && col("e").isNull, lit(1))).as("n_extra"),
+          count(when(col("cos") >= 0.99, lit(1))).as("n_high"),
+          count(when(col("cos") >= 0.99 && col("f").isNull, lit(1))).as("n_high_missed"))
+      PlanCapture.dump("q_embedding_near_dups_stats", stats)
+      stats
     }),
 
     "q_dedup_groups" -> ((s, dir) => {
@@ -502,13 +521,13 @@ object SparkEntry {
         oldB, "doc_id", "text", shingleN = 3)
       val incr = graft.operators.MinhashIndex
         .queryNew(s, idxDir, newB, "doc_id", "text", tau = 0.5)
-        .select(col("id_a"), col("id_b")).cache()
+        .select(col("id_a"), col("id_b"), lit(1).as("i"))
       val plan = graft.operators.MinhashIndex.readPlan(s, s"$idxDir/plan.txt")
       val full = graft.operators.Dedup.minhashLshPairs(universe, "doc_id", "text",
           shingleN = plan.shingleN, numHashes = plan.numHashes, bands = plan.bands,
           tau = 0.5)
         .where(col("id_a") % 40 === 0 || col("id_b") % 40 === 0)
-        .select(col("id_a"), col("id_b")).cache()
+        .select(col("id_a"), col("id_b"), lit(1).as("fl"))
       // exact pairs involving a new doc, WITHOUT the full-corpus inverted
       // index: new x old via the asymmetric variant (disjoint sides, per-
       // shingle join output |new bucket| x |old bucket| instead of the
@@ -520,15 +539,25 @@ object SparkEntry {
         .unionByName(graft.operators.Dedup
           .ngramJaccardPairs(newB, "doc_id", "text", n = 3, tau = 0.5)
           .select(col("id_a"), col("id_b")))
-        .cache()
+        .withColumn("e", lit(1))
       try {
-        PlanCapture.dump("q_incremental_dedup_stats", incr.exceptAll(exactNew))
-        Seq((newB.count(), exactNew.count(),
-          incr.exceptAll(exactNew).count(),
-          incr.exceptAll(full).count() + full.exceptAll(incr).count()))
+        // all three pair sets are unique on (id_a, id_b) by construction
+        // (candidate distinct / a<b groupBy; exactNew = disjoint new×old ∪
+        // new×new), so every exceptAll().count() equals its one-sided join
+        // count — the three parity numbers ride ONE two-join aggregate (r6;
+        // previously 3 caches + 5 count actions re-executed the pipelines)
+        val statsJoin = exactNew
+          .join(incr, Seq("id_a", "id_b"), "full_outer")
+          .join(full, Seq("id_a", "id_b"), "full_outer")
+          .agg(count(col("e")).as("n_exact_new"),
+            count(when(col("i").isNotNull && col("e").isNull, lit(1))).as("n_incr_extra"),
+            count(when(col("i").isNotNull =!= col("fl").isNotNull, lit(1)))
+              .as("incr_vs_full_diff"))
+        PlanCapture.dump("q_incremental_dedup_stats", statsJoin)
+        val r = statsJoin.head()
+        Seq((newB.count(), r.getLong(0), r.getLong(1), r.getLong(2)))
           .toDF("n_new", "n_exact_new", "n_incr_extra", "incr_vs_full_diff")
       } finally {
-        incr.unpersist(); full.unpersist(); exactNew.unpersist()
         universe.unpersist()
       }
     }),
@@ -563,7 +592,7 @@ object SparkEntry {
       // harness needs the wide-net small-scale setting — the auto plan
       // (bits = 0) targets near-dup selectivity at corpus scale
       val ann = graft.operators.Similarity.annTopK(queries, corpus, k = 3,
-        bits = 16, bands = 8).cache()
+        bits = 16, bands = 8)
       // the IVF variant reuses the per-sf persisted index's quantizer
       // (IvfIndex.ensure: same kCentroids/kmeansIters) — the recall measured
       // here is the recall OF THE INDEX AT REST, and the per-run
@@ -572,28 +601,31 @@ object SparkEntry {
         kCentroids = 16, kmeansIters = 1)
       val cents = graft.operators.IvfIndex.readCentroids(s, s"$idxDir/centroids.txt")
       val ivf = graft.operators.Similarity.ivfTopKWith(queries, corpus, k = 3,
-        cents, nProbe = 8).cache()
+        cents, nProbe = 8)
       try {
-        PlanCapture.dump("q_ann_recall_stats", brute.select(col("qid"), col("tid"))
-          .join(
-            ann.select(col("qid"), col("tid")).withColumn("m", lit("ann"))
-              .unionByName(ivf.select(col("qid"), col("tid")).withColumn("m", lit("ivf"))),
-            Seq("qid", "tid"))
-          .groupBy("m").count())
         val nExact = brute.count()
-        val nAnn = ann.count()
-        val hits = brute.select(col("qid"), col("tid"))
-          .join(
-            ann.select(col("qid"), col("tid")).withColumn("m", lit("ann"))
-              .unionByName(ivf.select(col("qid"), col("tid")).withColumn("m", lit("ivf"))),
-            Seq("qid", "tid"))
-          .groupBy("m").count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // per-method totals AND hit counts out of ONE left-outer join +
+        // aggregate (r6): the brute side is unique on (qid, tid) — top-k
+        // emits each tid once per qid — so the join multiplies nothing and
+        // count(x) counts exactly the |want INTERSECT got| rows per method,
+        // while count(*) recovers each method's own row count. Previously:
+        // 3 caches, separate nAnn count, separate hits join.
+        val got = ann.select(col("qid"), col("tid")).withColumn("m", lit("ann"))
+          .unionByName(ivf.select(col("qid"), col("tid")).withColumn("m", lit("ivf")))
+        val statsJoin = got
+          .join(brute.select(col("qid"), col("tid"), lit(1).as("x")),
+            Seq("qid", "tid"), "left_outer")
+          .groupBy("m").agg(count(lit(1)).as("n_got"), count(col("x")).as("n_hit"))
+        PlanCapture.dump("q_ann_recall_stats", statsJoin)
+        val r = statsJoin.collect()
+          .map(row => row.getString(0) -> (row.getLong(1), row.getLong(2))).toMap
         def pct(hit: Long) = if (nExact == 0) 100L
           else math.floor(hit.toDouble / nExact * 100).toLong
-        Seq((pct(hits.getOrElse("ann", 0L)), pct(hits.getOrElse("ivf", 0L)), nExact, nAnn))
+        Seq((pct(r.get("ann").map(_._2).getOrElse(0L)),
+          pct(r.get("ivf").map(_._2).getOrElse(0L)), nExact,
+          r.get("ann").map(_._1).getOrElse(0L)))
           .toDF("recall_pct", "ivf_recall_pct", "n_exact", "n_ann")
-      } finally { brute.unpersist(); ann.unpersist(); ivf.unpersist() }
+      } finally { brute.unpersist() }
     }),
 
     "q_text_profile" -> ((s, dir) =>
@@ -616,9 +648,17 @@ object SparkEntry {
 
     "q_dump_fingerprints" -> ((s, dir) => {
       import s.implicits._
-      val fixture = graft.synth.GarGen.df(s, "ADDR_OBJ", "01", 100).cache()
+      val fixture = graft.synth.GarGen.df(s, "ADDR_OBJ", "01", 100)
+      // collect the (100-row, deterministic) fixture ONCE and format all
+      // four dialects from the in-memory rows (r6): formatSlice ran its own
+      // toLocalIterator job per dialect — four jobs re-reading the same
+      // cached rows. collect() preserves partition order exactly like
+      // toLocalIterator, so the formatted bytes (and fnv64) are unchanged.
+      val fields = fixture.schema.fieldNames.toSeq
+      val collected = fixture.collect().toSeq
       val rows = graft.sinks.Dump.dialects.toSeq.sortBy(_._1).map { case (name, d) =>
-        val text = graft.sinks.Dump.formatSlice(fixture, "ADDR_OBJ", d, batchSize = 7)
+        val text = graft.sinks.Dump.formatRows(collected.iterator, fields,
+          "ADDR_OBJ", d, batchSize = 7).mkString
         (name, text.length.toLong,
           java.lang.Long.toHexString(graft.geo.TextAlgos.fnv1a64(text)))
       }
@@ -652,17 +692,20 @@ object SparkEntry {
         kCentroids = 16, kmeansIters = 1)
       val cents = graft.operators.IvfIndex.readCentroids(s, s"$idxDir/centroids.txt")
       val persisted = graft.operators.IvfIndex.query(s, idxDir, queries,
-        k = 3, nProbe = 8).cache()
+        k = 3, nProbe = 8).select(col("qid"), col("tid"), col("rn"), lit(1).as("p"))
       val mem = graft.operators.Similarity.ivfTopKWith(queries, corpus,
-        k = 3, cents, nProbe = 8).cache()
-      try {
-        val a = persisted.select("qid", "tid", "rn")
-        val b = mem.select("qid", "tid", "rn")
-        PlanCapture.dump("q_ivf_index_parity_stats", a.exceptAll(b))
-        val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
-        Seq((persisted.count(), mem.count(), diff))
-          .toDF("n_persisted", "n_memory", "n_diff")
-      } finally { persisted.unpersist(); mem.unpersist() }
+        k = 3, cents, nProbe = 8).select(col("qid"), col("tid"), col("rn"), lit(1).as("m"))
+      // both sides are unique on (qid, tid, rn) — rerankTopK emits each tid
+      // once per qid with a unique rank — so the two multiset exceptAll
+      // counts equal the one-sided rows of ONE full-outer join, and all
+      // three parity numbers come out of a single aggregate (r6; previously
+      // 2 caches + 4 count actions re-ran both top-k pipelines)
+      val stats = persisted.join(mem, Seq("qid", "tid", "rn"), "full_outer")
+        .agg(count(col("p")).as("n_persisted"),
+          count(col("m")).as("n_memory"),
+          count(when(col("p").isNull || col("m").isNull, lit(1))).as("n_diff"))
+      PlanCapture.dump("q_ivf_index_parity_stats", stats)
+      stats
     }),
 
     "q_stream_batch_parity" -> ((s, dir) => {

@@ -127,23 +127,46 @@ object DeltaStream {
       }
 
       val outPath = root.resolve("store").toString
-      val q = writeToStore(
-        dedupedChanges(readDeltaDrops(spark, watch.toString)),
-        outPath, root.resolve("ckpt").toString).start()
-      try q.processAllAvailable() finally q.stop()
+      // state-store sizing (r6): dropDuplicatesWithinWatermark creates one
+      // state-store instance PER shuffle partition per micro-batch, each
+      // with its own delta + commit files — at the session's 32 partitions
+      // that is 32 store lifecycles per batch for a 200-row fixture, pure
+      // fixed overhead. Sized DOWN to the fixture for the duration of the
+      // streaming query only (restored right after): the production
+      // streaming operators (dedupedChanges/writeToStore) take whatever the
+      // session sets — nothing here hard-codes a local core count.
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.min(prevParts.toInt, 4).toString)
+      try {
+        val q = writeToStore(
+          dedupedChanges(readDeltaDrops(spark, watch.toString)),
+          outPath, root.resolve("ckpt").toString).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
 
       // explicit schema on BOTH reads: partition-dir inference would corrupt
       // the zero-padded region key ("01" -> 1)
+      val cols = Seq("change_id", "region", "doc_id", "addr_text", "ts")
       val stream = spark.read.schema(deltaDdl).parquet(outPath)
-        .select("change_id", "region", "doc_id", "addr_text", "ts").cache()
+        .select(cols.head, cols.tail: _*)
       val batch = spark.read.schema(deltaDdl).parquet(watch.toString)
         .dropDuplicates("change_id")
-        .select("change_id", "region", "doc_id", "addr_text", "ts").cache()
-      try {
-        graft.PlanCapture.dump("q_stream_batch_parity_stats", stream.exceptAll(batch))
-        val diff = stream.exceptAll(batch).count() + batch.exceptAll(stream).count()
-        (stream.count(), batch.count(), diff)
-      } finally { stream.unpersist(); batch.unpersist() }
+        .select(cols.head, cols.tail: _*)
+      // all three parity numbers out of ONE full-outer join + aggregate
+      // (r6; previously 2 caches + 4 count actions): both sides are unique
+      // per change_id by construction (watermarked dedupe / dropDuplicates)
+      // and every column is non-null, so joining on the FULL row makes the
+      // one-sided rows exactly what the two multiset exceptAll counts saw —
+      // a row differing in any column lands one-sided on both sides (2),
+      // a missing row on one (1).
+      val statsJoin = stream.withColumn("s", lit(1))
+        .join(batch.withColumn("b", lit(1)), cols, "full_outer")
+        .agg(count(col("s")).as("n_stream"), count(col("b")).as("n_batch"),
+          count(when(col("s").isNull || col("b").isNull, lit(1))).as("n_diff"))
+      graft.PlanCapture.dump("q_stream_batch_parity_stats", statsJoin)
+      val r = statsJoin.head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     } finally {
       // drops + store + checkpoint are throwaway fixtures — repeated runs
       // would otherwise accumulate unbounded temp usage on the host
