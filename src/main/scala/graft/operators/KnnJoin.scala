@@ -61,14 +61,15 @@ object KnnJoin {
   }
 
   def knnJoin(queries: DataFrame, targets: DataFrame, k: Int, res: Int = -1,
-      ringSteps: Seq[Int] = Seq(1, 4), broadcastTargets: Boolean = false): DataFrame = {
+      ringSteps: Seq[Int] = Seq(1, 4), broadcastTargets: Boolean = false): DataFrame =
     // res >= 0: resolution 0 (one global cell axis) is legal — only the
-    // negative sentinel requests auto-resolution
-    val resolvedRes = if (res >= 0) res else autoRes(targets)
-    knnJoinAtRes(queries, targets, k, resolvedRes, ringSteps, broadcastTargets)
-  }
+    // negative sentinel requests auto-resolution (resolved INSIDE
+    // knnJoinAtRes, over the already-cached target table — an expensive
+    // target upstream previously ran twice, once for the percentile probe
+    // and once into the stage cache; r6)
+    knnJoinAtRes(queries, targets, k, res, ringSteps, broadcastTargets)
 
-  def knnJoinAtRes(queries0: DataFrame, targets: DataFrame, k: Int, res: Int,
+  def knnJoinAtRes(queries0: DataFrame, targets: DataFrame, k: Int, res0: Int,
       ringSteps: Seq[Int], broadcastTargets: Boolean): DataFrame = {
 
     // cache both inputs: the escalation stages re-reference them (candidate
@@ -82,10 +83,18 @@ object KnnJoin {
 
     val queries = tracked(queries0)
 
-    val t = targets.select(
-      col("tid"), col("lat").as("t_lat"), col("lon").as("t_lon"),
-      gf.grid_cell(col("lat"), col("lon"), res).as("cell"))
-    val tSide = if (broadcastTargets) broadcast(t) else tracked(t)
+    // the raw (tid, lat, lon) projection is what BOTH the auto-resolution
+    // percentile probe and the cell index consume — cache it once so the
+    // target upstream (synthesis/geocode/scan) runs a single time
+    val tRaw = tracked(targets.select(
+      col("tid"), col("lat").as("t_lat"), col("lon").as("t_lon")))
+    val res = if (res0 >= 0) res0 else autoRes(tRaw.select(
+      col("tid"), col("t_lat").as("lat"), col("t_lon").as("lon")))
+    // t is a cheap per-row projection (one bit-math cell encode) over the
+    // cached raw table — NOT cached again: a second cache would only copy
+    // the same rows plus one long column
+    val t = tRaw.withColumn("cell", gf.grid_cell(col("t_lat"), col("t_lon"), res))
+    val tSide = if (broadcastTargets) broadcast(t) else t
 
     val w = Window.partitionBy("qid").orderBy(col("dist2"), col("tid"))
 

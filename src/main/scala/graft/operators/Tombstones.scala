@@ -100,10 +100,20 @@ private[graft] object Tombstones {
   def unretire(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit = {
     val tomb = resolve(spark, dir).getOrElse(return)
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val longIds = ids.select(col(idCol).cast("long").as("id"))
-    if (read(spark, dir).join(longIds, Seq("id"), "left_semi").count() == 0) return
+    // distinct so the left-outer mark below cannot multiply tombstone rows;
+    // anti-join semantics downstream are unaffected by it
+    val longIds = ids.select(col(idCol).cast("long").as("id")).distinct()
+    // ONE probe job for both decisions (r6 — a streaming append pays this
+    // per micro-batch): total rows and overlapping rows out of a single
+    // marked aggregate; previously a semi-join count plus an anti-join
+    // count ran the same two scans sequentially.
+    val st = read(spark, dir)
+      .join(longIds.withColumn("x", lit(1)), Seq("id"), "left_outer")
+      .agg(count(lit(1)), count(col("x"))).head()
+    val (total, overlap) = (st.getLong(0), st.getLong(1))
+    if (overlap == 0) return
     val remaining = read(spark, dir).join(longIds, Seq("id"), "left_anti")
-    if (remaining.count() == 0) {
+    if (overlap == total) {
       // last tombstone un-retired: CLEAR rather than swap in an empty set —
       // an empty-but-present dir would cost every future read its
       // no-tombstone fast path and let compact() rewrite the whole store
