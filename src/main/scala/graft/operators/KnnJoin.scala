@@ -35,10 +35,18 @@ object KnnJoin {
    */
   /**
    * Resolution tuned to the *occupied* target extent, not the whole globe:
-   * aim for ~4 targets per cell inside the robust (5th..95th percentile)
-   * bounding box, so a 1-ring holds ~36 candidates. Too fine a grid pushes
-   * queries to the brute-force fallback; too coarse floods the window rank
-   * with the whole region's points (both measured 15-90x slowdowns).
+   * first a bbox estimate (~1 target/cell inside the robust 5th..95th
+   * percentile box), then a DENSITY refinement — the bbox estimate assumes
+   * uniformity, but real target sets cluster into hot regions, leaving the
+   * mean OCCUPIED cell far denser than n/cells_in_bbox (measured at the
+   * sf0.1 address table: bbox said res 10 at "~1/cell", the occupied mean
+   * was 6.9/cell, and the 1-ring stage ranked 5.9M candidate rows; one
+   * level finer ranks 2.5M across all stages for the same exact result).
+   * One cheap aggregate over the (caller-cached) targets measures the
+   * occupied mean and bumps the resolution by log4 of the overshoot. Too
+   * fine a grid pushes queries to the brute-force fallback (res 12 here:
+   * 16.5M brute rows), so the bump stops at the density target rather than
+   * biasing maximally fine; certification stays exact at any resolution.
    */
   def autoRes(targets: DataFrame): Int = {
     val r = targets.agg(
@@ -51,13 +59,22 @@ object KnnJoin {
     if (n == 0) return 5
     val h = math.max(0.5, (qLat(1) - qLat(0)) * 1.25)
     val w = math.max(0.5, (qLon(1) - qLon(0)) * 1.25)
-    // cells_in_bbox(res) ~= n: ~1 target/cell in the occupied box. Biased
-    // fine rather than coarse because real target sets cluster inside the
-    // box (hot regions): a too-coarse grid floods the rank window, while a
-    // too-fine grid merely escalates to the next ring (cheap, still exact).
     val cells = math.max(4.0, n.toDouble)
-    val res = (math.log(cells * 360.0 * 180.0 / (w * h)) / math.log(4.0)).round.toInt
-    math.max(1, math.min(12, res))
+    val res0 = math.max(1, math.min(12,
+      (math.log(cells * 360.0 * 180.0 / (w * h)) / math.log(4.0)).round.toInt))
+    // density refinement: mean targets per OCCUPIED cell at res0. Aim for
+    // ~3/cell so a 1-ring holds ~27 candidates (~9x k for typical k) — one
+    // extra level per 4x overshoot, bounded by the same res <= 12 cap.
+    val targetPerCell = 3.0
+    val d = targets.select(gf.grid_cell(col("lat"), col("lon"), res0).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(avg(col("n"))).head()
+    val density = if (d.isNullAt(0)) 0.0 else d.getDouble(0)
+    val bump =
+      if (density > targetPerCell)
+        math.ceil(math.log(density / targetPerCell) / math.log(4.0)).toInt
+      else 0
+    math.max(1, math.min(12, res0 + bump))
   }
 
   def knnJoin(queries: DataFrame, targets: DataFrame, k: Int, res: Int = -1,
