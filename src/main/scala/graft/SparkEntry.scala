@@ -603,15 +603,19 @@ object SparkEntry {
       val ivf = graft.operators.Similarity.ivfTopKWith(queries, corpus, k = 3,
         cents, nProbe = 8)
       try {
-        val nExact = brute.count()
         // per-method totals AND hit counts out of ONE left-outer join +
         // aggregate (r6): the brute side is unique on (qid, tid) — top-k
         // emits each tid once per qid — so the join multiplies nothing and
         // count(x) counts exactly the |want INTERSECT got| rows per method,
-        // while count(*) recovers each method's own row count. Previously:
-        // 3 caches, separate nAnn count, separate hits join.
+        // while count(*) recovers each method's own row count. Tagging the
+        // brute rows as a third union branch folds the nExact count into
+        // the same job (every brute row trivially matches itself).
+        // Previously: 3 caches, separate nExact/nAnn counts, separate hits
+        // join — 5+ actions; now 1 (plus the cached brute feeding both the
+        // union branch and the mark side of one plan).
         val got = ann.select(col("qid"), col("tid")).withColumn("m", lit("ann"))
           .unionByName(ivf.select(col("qid"), col("tid")).withColumn("m", lit("ivf")))
+          .unionByName(brute.select(col("qid"), col("tid")).withColumn("m", lit("exact")))
         val statsJoin = got
           .join(brute.select(col("qid"), col("tid"), lit(1).as("x")),
             Seq("qid", "tid"), "left_outer")
@@ -619,6 +623,7 @@ object SparkEntry {
         PlanCapture.dump("q_ann_recall_stats", statsJoin)
         val r = statsJoin.collect()
           .map(row => row.getString(0) -> (row.getLong(1), row.getLong(2))).toMap
+        val nExact = r.get("exact").map(_._1).getOrElse(0L)
         def pct(hit: Long) = if (nExact == 0) 100L
           else math.floor(hit.toDouble / nExact * 100).toLong
         Seq((pct(r.get("ann").map(_._2).getOrElse(0L)),
