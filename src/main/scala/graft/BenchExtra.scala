@@ -32,6 +32,8 @@ object BenchExtra {
     val wanted =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted
       else args.toSeq
+    wanted.filterNot(SparkEntry.queries.contains).foreach(n =>
+      println(s"EXTRA $n UNKNOWN (not a declared query) — skipped"))
     for (name <- wanted; fn <- SparkEntry.queries.get(name); rep <- 1 to reps) {
       spark.sparkContext.setJobDescription(s"$name rep$rep")
       val t0 = System.nanoTime()

@@ -38,6 +38,16 @@ private[graft] object BatchCommit {
       if (fs.exists(committed)) { fs.delete(staging, true); return false }
       throw new java.io.IOException(s"could not commit batch $batchId under $base")
     }
+    // posix rename-into-existing-dir (round-6 review): if a concurrent
+    // winner committed between the pre-check and the rename, a local FS
+    // "successfully" moves our staging INSIDE the winner's dir as
+    // batch=<id>/<id>/ instead of failing — which would double-read the
+    // batch on the next scan. No legitimate commit contains a child dir
+    // named after the batchId (writers emit part files), so its presence
+    // identifies the lost race exactly: remove it and report
+    // already-committed.
+    val nested = new Path(committed, staging.getName)
+    if (fs.exists(nested)) { fs.delete(nested, true); return false }
     true
   }
 }

@@ -267,6 +267,38 @@ class MinhashIndexSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(base, "batch=5/part-0")))
   }
 
+  test("empty retire is a no-op; zero-row tombstone dirs are pruned by snapshot (no permanent-rewrite trap)") {
+    import graft.operators.Tombstones
+    val dir = java.nio.file.Files.createTempDirectory("tomb_empty").toString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val tombDir = new org.apache.hadoop.fs.Path(dir, "tombstones")
+    // retire with zero ids must not create the dir (it would cost every
+    // read its no-tombstone fast path and every compact a full rewrite)
+    Tombstones.retire(spark, dir, Seq.empty[Long].toDF("doc_id"), "doc_id")
+    assert(!fs.exists(tombDir))
+    // a pre-guard index may still carry a zero-row dir: snapshot prunes it
+    Seq.empty[Long].toDF("id").write.mode("append").parquet(tombDir.toString)
+    assert(fs.exists(tombDir))
+    assert(Tombstones.snapshot(spark, dir).isEmpty)
+    assert(!fs.exists(tombDir), "zero-row tombstone dir should be pruned")
+  }
+
+  test("unretire removes exactly the given ids and leaves files landed after its pin untouched") {
+    import graft.operators.Tombstones
+    val dir = java.nio.file.Files.createTempDirectory("tomb_pin").toString
+    Tombstones.retire(spark, dir, Seq(1L, 2L, 3L).toDF("doc_id"), "doc_id")
+    Tombstones.retire(spark, dir, Seq(4L).toDF("doc_id"), "doc_id")
+    Tombstones.unretire(spark, dir, Seq(2L, 3L).toDF("doc_id"), "doc_id")
+    val left = Tombstones.read(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(left == Set(1L, 4L), left.toString)
+    // removing the last ids restores the no-tombstone fast path (dir gone)
+    Tombstones.unretire(spark, dir, Seq(1L, 4L).toDF("doc_id"), "doc_id")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "tombstones")))
+  }
+
   test("append grows the index: a later batch dedups against both earlier ones") {
     val old = corpus(1L to 40L)
     val second = corpus(41L to 60L)
